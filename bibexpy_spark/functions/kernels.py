@@ -1,0 +1,280 @@
+"""Vectorized text/dedup kernels shared by the Spark pandas UDFs and the
+brute-force oracle.
+
+Everything here is pandas/numpy batch code — no per-row Python in the hot
+path (BASELINE.json ``input_hint``).  The Spark side wraps these functions in
+Arrow-batched pandas UDFs (functions/udfs.py); the oracle (oracle.py) calls
+them directly on the whole corpus.  Sharing the kernel is what guarantees the
+pipeline reproduces the oracle's cluster assignments exactly at the same
+config (BASELINE.json ``north_rule``).
+
+Reference semantics generalized here:
+  * normalization — normalize_title (reference smart_merger.py:113-127):
+    unicode NFKD->ASCII fold, lowercase, punctuation->space, collapse
+    whitespace, optional stopword drop;
+  * staged exact-before-fuzzy — content hash (reference Stage 1 DOI equality,
+    smart_merger.py:253-265) becomes sha256 of the normalized text;
+  * blocking — reference blocks on (year, surname[0]) (smart_merger.py:185-198);
+    here the block key is the LSH band hash over MinHash signatures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import unicodedata
+
+import numpy as np
+import pandas as pd
+
+from bibexpy_spark.config import DedupConfig
+
+# 64-bit mixing constants (splitmix64 finalizer; public-domain constants).
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_U64 = np.uint64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    with np.errstate(over="ignore"):
+        x = (x + _GOLDEN).astype(np.uint64)
+        x = (x ^ (x >> _U64(30))) * _MIX1
+        x = (x ^ (x >> _U64(27))) * _MIX2
+        x = x ^ (x >> _U64(31))
+    return x
+
+
+def hash_str_u64(s: str) -> int:
+    """Stable 64-bit hash of one string (blake2b, digest_size=8)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+def normalize_text(texts: pd.Series, cfg: DedupConfig) -> pd.Series:
+    """Vectorized canonical normalization (pandas .str ops, one pass each).
+
+    Mirrors the reference's normalize_title chain (fold -> lower -> punct ->
+    whitespace -> stopwords) but over arbitrary transcript text.
+    """
+    s = texts.fillna("").astype(str)
+    if cfg.unicode_fold:
+        # NFKD then drop combining marks / non-ASCII: vectorized via
+        # str.normalize + encode/decode (C-level, no per-row Python).
+        s = s.str.normalize("NFKD").str.encode("ascii", "ignore").str.decode("ascii")
+    if cfg.lowercase:
+        s = s.str.lower()
+    if cfg.strip_punct:
+        s = s.str.replace(r"[^a-z0-9]+" if cfg.lowercase else r"[^A-Za-z0-9]+", " ", regex=True)
+    if cfg.collapse_ws:
+        s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+    if cfg.stopwords:
+        pat = r"\b(?:" + "|".join(cfg.stopwords) + r")\b"
+        s = s.str.replace(pat, " ", regex=True)
+        s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+    return s
+
+
+# ---------------------------------------------------------------------------
+# tokenization -> flat token-hash representation
+# ---------------------------------------------------------------------------
+
+def _flat_token_hashes(norm_texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a batch and hash every token.
+
+    Returns ``(flat, offsets)`` where ``flat`` is the uint64 hash of every
+    token of every row concatenated, and ``offsets[i]:offsets[i+1]`` slices
+    row i's tokens.  Token hashing is vocabulary-deduplicated: factorize the
+    flat token array (C-level) and blake2b only the unique tokens.
+    """
+    token_lists = norm_texts.str.split()
+    counts = np.fromiter((len(t) if isinstance(t, list) else 0 for t in token_lists),
+                         dtype=np.int64, count=len(token_lists))
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    flat_tokens = np.empty(total, dtype=object)
+    pos = 0
+    for t in token_lists:
+        if isinstance(t, list) and t:
+            flat_tokens[pos:pos + len(t)] = t
+            pos += len(t)
+    codes, uniques = pd.factorize(flat_tokens)
+    uhash = np.fromiter((hash_str_u64(u) for u in uniques), dtype=np.uint64, count=len(uniques))
+    return uhash[codes], offsets
+
+
+_EMPTY_SHINGLE = np.uint64(hash_str_u64(""))
+
+
+def shingle_sets(norm_texts: pd.Series, cfg: DedupConfig) -> list[np.ndarray]:
+    """Per-row sorted-unique uint64 k-shingle hashes (word k-grams).
+
+    A shingle hash combines k consecutive token hashes with a multiply-xor
+    chain (vectorized over the whole batch at once via flat windows).  Rows
+    with fewer than k tokens contribute one shingle combining all their
+    tokens; empty rows get the singleton {hash("")} so no set is ever empty.
+    """
+    flat, offsets = _flat_token_hashes(norm_texts)
+    n = len(offsets) - 1
+    k = cfg.shingle_k
+    total = len(flat)
+
+    # combined hash for every flat window start (may cross row boundaries;
+    # invalid starts are filtered by per-row slicing below)
+    if total >= k:
+        with np.errstate(over="ignore"):
+            acc = flat[: total - k + 1].copy()
+            for j in range(1, k):
+                acc = (acc * _MIX1) ^ flat[j: total - k + 1 + j]
+            acc = _splitmix64(acc)
+    else:
+        acc = np.empty(0, dtype=np.uint64)
+
+    out: list[np.ndarray] = []
+    for i in range(n):
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        cnt = hi - lo
+        if cnt == 0:
+            out.append(np.array([_EMPTY_SHINGLE], dtype=np.uint64))
+        elif cnt < k:
+            with np.errstate(over="ignore"):
+                h = flat[lo]
+                for j in range(lo + 1, hi):
+                    h = (h * _MIX1) ^ flat[j]
+                h = _splitmix64(np.array([h], dtype=np.uint64))
+            out.append(h)
+        else:
+            out.append(np.unique(acc[lo: hi - k + 1]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+def minhash_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) parameter vectors for multiply-shift MinHash."""
+    rng = np.random.default_rng(cfg.minhash_seed)
+    a = rng.integers(1, 2**63, size=cfg.num_perm, dtype=np.uint64) * _U64(2) + _U64(1)  # odd
+    b = rng.integers(0, 2**63, size=cfg.num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(shingles: list[np.ndarray], cfg: DedupConfig) -> np.ndarray:
+    """Batched MinHash: (n_rows, num_perm) uint64.
+
+    Fully vectorized via one flat (perm x total_shingles) matrix per
+    perm-chunk and ``np.minimum.reduceat`` with row offsets — the "batched
+    MinHash in vectorized pandas/Arrow UDFs" of the north rule.
+    """
+    a, b = minhash_params(cfg)
+    n = len(shingles)
+    counts = np.fromiter((len(s) for s in shingles), dtype=np.int64, count=n)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    flat = np.concatenate(shingles) if n else np.empty(0, dtype=np.uint64)
+    sig = np.empty((n, cfg.num_perm), dtype=np.uint64)
+    if len(flat) == 0:
+        return sig
+    # chunk the permutation axis to bound memory (~16 perms x batch shingles)
+    chunk = 16
+    with np.errstate(over="ignore"):
+        for p0 in range(0, cfg.num_perm, chunk):
+            p1 = min(p0 + chunk, cfg.num_perm)
+            hashed = a[p0:p1, None] * flat[None, :] + b[p0:p1, None]  # (chunk, total)
+            sig[:, p0:p1] = np.minimum.reduceat(hashed, offsets, axis=1).T
+    return sig
+
+
+def band_hashes(sig: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """(n_rows, bands) int64 band hashes from a (n_rows, num_perm) signature.
+
+    Each band hash mixes its r row-values plus the band index, so equal
+    hashes in different bands never collide into one LSH bucket.
+    """
+    n = sig.shape[0]
+    r, bcount = cfg.rows_per_band, cfg.bands
+    out = np.empty((n, bcount), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for bi in range(bcount):
+            acc = np.full(n, _U64(bi + 1), dtype=np.uint64)
+            for j in range(r):
+                acc = (acc * _MIX1) ^ sig[:, bi * r + j]
+            out[:, bi] = _splitmix64(acc)
+    return out.view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(norm_texts: pd.Series, cfg: DedupConfig) -> np.ndarray:
+    """64-bit SimHash over token features, vectorized per batch.
+
+    Expand every token hash to its 64 bits, signed-sum per row via
+    ``np.add.reduceat``, take the sign.  Returns int64 (bit-pattern view).
+    """
+    flat, offsets = _flat_token_hashes(norm_texts)
+    n = len(offsets) - 1
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.int64)
+    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(np.int8)
+    signed = bits.astype(np.int32) * 2 - 1  # 0/1 -> -1/+1
+    # rows with zero tokens: reduceat needs strictly valid segment starts
+    starts = offsets[:-1].copy()
+    starts[starts >= len(flat)] = len(flat) - 1  # clamp; fixed up below
+    sums = np.add.reduceat(signed, starts, axis=0)
+    counts = np.diff(offsets)
+    sums[counts == 0] = 0
+    h = (sums > 0).astype(np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    for bit in range(64):
+        out |= h[:, bit] << _U64(bit)
+    return out.view(np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between two int64 simhash arrays."""
+    x = (a.view(np.uint64) ^ b.view(np.uint64))
+    return np.bitwise_count(x).astype(np.int32) if hasattr(np, "bitwise_count") else np.array(
+        [bin(int(v)).count("1") for v in x], dtype=np.int32
+    )
+
+
+def simhash_chunk_keys(sim: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """(n, chunks) int64: pigeonhole chunk values for Hamming bucketing.
+
+    With hamming_max < chunks, two hashes within the radius must agree on at
+    least one 16-bit chunk -> equi-join per chunk index captures all pairs.
+    """
+    n = len(sim)
+    c = cfg.simhash_chunks
+    width = 64 // c
+    mask = _U64((1 << width) - 1)
+    u = sim.view(np.uint64)
+    out = np.empty((n, c), dtype=np.uint64)
+    for i in range(c):
+        out[:, i] = (u >> _U64(i * width)) & mask
+    return out.view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# exact Jaccard (oracle + verification kernel)
+# ---------------------------------------------------------------------------
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique uint64 arrays."""
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0
+
+
+def content_sha256(norm_texts: pd.Series) -> pd.Series:
+    """Strong content hash of normalized text (Stage-1 exact short-circuit)."""
+    return norm_texts.map(lambda s: hashlib.sha256(s.encode("utf-8")).hexdigest())
