@@ -62,9 +62,13 @@ def normalize_text(texts: pd.Series, cfg: DedupConfig) -> pd.Series:
     """
     s = texts.fillna("").astype(str)
     if cfg.unicode_fold:
-        # NFKD then drop combining marks / non-ASCII: vectorized via
-        # str.normalize + encode/decode (C-level, no per-row Python).
-        s = s.str.normalize("NFKD").str.encode("ascii", "ignore").str.decode("ascii")
+        # NFKD, space out symbols/punctuation (keeping combining marks,
+        # U+0300-036F, so accents still fold onto their base letter), then
+        # drop the marks via ASCII encode — all C-level pandas str ops.
+        s = s.str.normalize("NFKD")
+        if cfg.strip_punct:
+            s = s.str.replace("[^0-9A-Za-z\\s\\u0300-\\u036f]", " ", regex=True)
+        s = s.str.encode("ascii", "ignore").str.decode("ascii")
     if cfg.lowercase:
         s = s.str.lower()
     if cfg.strip_punct:

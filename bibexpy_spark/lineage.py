@@ -1,0 +1,139 @@
+"""Run folders, per-stage checkpoints, metrics — the resume layer.
+
+The reference materializes every run as an *analysis folder* with meta.json,
+per-run artifacts and an append-only operations log (analyses.py:58-101,
+audit.py:1-9), and skips work when outputs are fresher than inputs
+(converter.py:103-111 ``_fresh``).  Here:
+
+  * a **run** is a directory ``<warehouse>/<run_id>/`` of per-stage parquet
+    tables (the Iceberg-table contract; parquet fallback since no Iceberg
+    runtime jar ships in this sandbox — the layout maps 1:1 onto
+    ``catalog.db.<stage>`` tables with snapshot pinning);
+  * each completed stage writes a **manifest** ``<stage>.manifest.json``
+    carrying (run_id, stage, config_hash, input_token, rows, wall_s);
+  * on relaunch, a stage whose manifest matches (config_hash, input_token)
+    is SKIPPED and its table is read back — resume without recomputation
+    (north rule), recorded as ``skipped=true`` in metrics;
+  * every stage appends a row to ``metrics.jsonl`` (append-only audit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bibexpy_spark.config import DedupConfig
+
+
+def input_token_for_paths(*paths: str) -> str:
+    """Cheap input fingerprint: (path, size, mtime) of every file — the
+    parquet stand-in for an Iceberg snapshot id."""
+    parts = []
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                fp = os.path.join(p, f)
+                st = os.stat(fp)
+                parts.append(f"{fp}:{st.st_size}:{int(st.st_mtime)}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")
+        else:
+            parts.append(f"{p}:missing")
+    import hashlib
+
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+@dataclass
+class RunContext:
+    """One pipeline run: stage tables + manifests + metrics under one dir."""
+
+    spark: SparkSession
+    cfg: DedupConfig
+    warehouse: str
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    input_token: str = ""
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+    @property
+    def run_dir(self) -> str:
+        return os.path.join(self.warehouse, self.run_id)
+
+    def _table_path(self, stage: str) -> str:
+        return os.path.join(self.run_dir, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.run_dir, f"{stage}.manifest.json")
+
+    def stage_fresh(self, stage: str) -> bool:
+        mp = self._manifest_path(stage)
+        if not os.path.exists(mp):
+            return False
+        try:
+            m = json.load(open(mp))
+        except (json.JSONDecodeError, OSError):
+            return False
+        return (
+            m.get("config_hash") == self.cfg.config_hash()
+            and m.get("input_token") == self.input_token
+            and os.path.exists(self._table_path(stage))
+        )
+
+    def materialize(self, stage: str, build, repartition: int | None = None) -> DataFrame:
+        """Run ``build()`` unless a fresh checkpoint exists; return the stage
+        DataFrame read back from its table (so downstream lineage starts at
+        the checkpoint, truncating the DAG)."""
+        t0 = time.time()
+        path = self._table_path(stage)
+        if self.stage_fresh(stage):
+            df = self.spark.read.parquet(path)
+            self._log(stage, rows=df.count(), wall_s=time.time() - t0, skipped=True)
+            return df
+        df = build()
+        writer = df.repartition(repartition) if repartition else df
+        tmp = path + ".tmp"
+        writer.write.mode("overwrite").parquet(tmp)
+        # atomic-ish replace: stage tables are only visible once complete
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        out = self.spark.read.parquet(path)
+        rows = out.count()
+        self._write_manifest(stage, rows, time.time() - t0)
+        self._log(stage, rows=rows, wall_s=time.time() - t0, skipped=False)
+        return out
+
+    def _write_manifest(self, stage: str, rows: int, wall_s: float) -> None:
+        os.makedirs(self.run_dir, exist_ok=True)
+        manifest = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "config_hash": self.cfg.config_hash(),
+            "input_token": self.input_token,
+            "rows": rows,
+            "wall_s": round(wall_s, 3),
+            "completed_at": time.time(),
+        }
+        tmp = self._manifest_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(stage))
+
+    def _log(self, stage: str, **kv: Any) -> None:
+        row = {"run_id": self.run_id, "stage": stage, "ts": time.time(), **kv}
+        self.metrics.append(row)
+        os.makedirs(self.run_dir, exist_ok=True)
+        with open(os.path.join(self.run_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def log_metric(self, stage: str, **kv: Any) -> None:
+        self._log(stage, **kv)

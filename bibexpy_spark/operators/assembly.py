@@ -1,0 +1,67 @@
+"""Conversation assembly: turn table -> one row per conversation.
+
+The reference assembles documents from ordered tagged-line fragments
+(wos2xlsx.py:21-64: group lines by (doc, tag), join, pivot).  The transcript
+analogue concatenates turns under a stable ``turn_idx`` ordering.
+
+Shuffle-safety: ``collect_list`` order is NOT deterministic after a shuffle,
+so we always ``sort_array(collect_list(struct(turn_idx, ...)))`` — the struct
+sorts lexicographically by field order, turn_idx first (SURVEY.md §7.4 #3).
+Ties on duplicate (conv_id, turn_idx) fall back to (role, text, tool), which
+keeps the result deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: separator between turns in the assembled document
+TURN_SEP = "\n"
+
+
+def assemble_conversations(turns: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, role, text, tool, ts) -> one row per conv_id.
+
+    Output: conv_id, n_turns, doc (ordered text concat), roles, tools,
+    first_ts, last_ts, turns (ordered array of structs, kept for the
+    per-turn equality invariant / explode-back).
+    """
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("turn_idx", "role", "text", "tool", "ts"))
+            ).alias("turns"),
+            F.count("*").alias("n_turns"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .withColumn("doc", F.array_join(F.transform("turns", lambda t: t["text"]), TURN_SEP))
+        .withColumn("roles", F.array_join(F.transform("turns", lambda t: t["role"]), " "))
+        .withColumn(
+            "tools",
+            F.array_join(
+                F.filter(
+                    F.transform("turns", lambda t: t["tool"]),
+                    lambda x: (x.isNotNull()) & (x != ""),
+                ),
+                " ",
+            ),
+        )
+    )
+
+
+def explode_back(conversations: DataFrame) -> DataFrame:
+    """Inverse of assembly for the invariant test: conversation rows ->
+    (conv_id, turn_idx, role, text, tool, ts) turn rows."""
+    return conversations.select(
+        "conv_id", F.explode("turns").alias("t")
+    ).select(
+        "conv_id",
+        F.col("t.turn_idx").alias("turn_idx"),
+        F.col("t.role").alias("role"),
+        F.col("t.text").alias("text"),
+        F.col("t.tool").alias("tool"),
+        F.col("t.ts").alias("ts"),
+    )

@@ -1,0 +1,104 @@
+"""Iterative connected components over a DataFrame edge list.
+
+Large-star / small-star alternation (Kiveris et al., "Connected Components
+in MapReduce and Beyond") — each round is two join+aggregate passes, the
+edge set converges to stars whose centers are the component minima.  This
+replaces the reference's greedy confidence-ordered 1:1 matching
+(smart_merger.py:654-711) and its greedy single-link clusterer
+(blocking.py:116-140) with an order-independent, shuffle-parallel algorithm
+(the north rule's clustering operator).
+
+Lineage is truncated with ``localCheckpoint`` every ``cc_checkpoint_every``
+rounds; convergence is detected by an order-insensitive edge-set checksum
+(count + sum of xxhash64) — one cheap aggregate per round instead of a full
+``exceptAll``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bibexpy_spark.config import CANONICAL, DedupConfig
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Emit (v, m(u)) for every neighbor v > u; m = min(N(u) ∪ {u})."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("src", "mn").alias("m"))
+    out = (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges downward, connect small neighbors to the minimum."""
+    o = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+    out = (
+        o.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(mins.select(F.col("src"), F.col("m").alias("dst")))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) sum: overflow-free under ANSI mode at any edge count
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    cfg: DedupConfig = CANONICAL,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """edges(a_id, b_id) + nodes(id) -> (id_col, cluster_id).
+
+    ``cluster_id`` is the minimum node id of the component; isolated nodes
+    map to themselves (same convention as the oracle's transitive closure).
+    """
+    e = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    # materialize the edge list once: the iteration must not re-derive the
+    # whole upstream pipeline (LSH + verify) every round
+    e = e.localCheckpoint(eager=True)
+
+    prev = None
+    for _ in range(cfg.cc_max_iter):
+        # checkpoint each round: truncates lineage AND makes the convergence
+        # checksum a scan of materialized data, not a recompute
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # after convergence every edge points child -> component min
+    assign = e.select(
+        F.greatest("src", "dst").alias(id_col), F.least("src", "dst").alias("cluster_id")
+    ).groupBy(id_col).agg(F.min("cluster_id").alias("cluster_id"))
+
+    return (
+        nodes.select(F.col(id_col))
+        .join(assign, id_col, "left")
+        .select(
+            id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+        )
+    )

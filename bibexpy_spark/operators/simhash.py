@@ -1,0 +1,69 @@
+"""SimHash Hamming-bucket matching (fuzzy-field dedup pass).
+
+The reference's Stage-4 matches on fuzzy secondary fields (journal JW >= 0.90
+plus exact volume/page, smart_merger.py:309-334).  The transcript analogue:
+SimHash over text + role/tool-sequence features, pairs within Hamming
+distance ``simhash_hamming_max``.
+
+Candidate generation uses the pigeonhole principle: split the 64-bit hash
+into ``simhash_chunks`` chunks; two hashes within distance d < chunks must
+agree exactly on at least one chunk -> one equi-join per chunk index, then a
+JVM-native verify ``bit_count(a ^ b) <= d`` (no Python in the join path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bibexpy_spark.config import DedupConfig
+from bibexpy_spark.functions import udfs
+
+
+def with_simhash(conversations: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Add ``fuzzy_feat`` (normalized doc + roles + tools) and ``simhash``."""
+    u = udfs.for_config(cfg)
+    feat = F.concat_ws(
+        " ", F.col("doc"), F.coalesce("roles", F.lit("")), F.coalesce("tools", F.lit(""))
+    )
+    return conversations.withColumn(
+        "fuzzy_feat", u["normalize"](feat)
+    ).withColumn("simhash", u["simhash"](F.col("fuzzy_feat")))
+
+
+def simhash_pairs(simmed: DataFrame, cfg: DedupConfig, id_col: str = "conv_id") -> DataFrame:
+    """(id, simhash) -> pairs (a_id, b_id, hamming) within the radius."""
+    width = 64 // cfg.simhash_chunks
+    mask = (1 << width) - 1
+    chunks = simmed.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(cfg.simhash_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", F.col("c.chunk_idx"), F.col("c.chunk_val"))
+
+    a = chunks.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sim"), "chunk_idx", "chunk_val"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sim"), "chunk_idx", "chunk_val"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim"))))
+        .filter(F.col("hamming") <= cfg.simhash_hamming_max)
+        .select("a_id", "b_id", "hamming")
+        .dropDuplicates(["a_id", "b_id"])
+    )

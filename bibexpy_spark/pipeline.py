@@ -1,0 +1,123 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+Stage DAG (SURVEY.md §7.1; restates the reference's six-phase Smart Merge,
+smart_merger.py:576-827, as Spark stages):
+
+    assemble   turn rows -> conversation rows (window-ordered concat)
+    sign       normalize + content sha + shingles + MinHash bands + SimHash
+    exact      strong-hash dedup groups (Stage-1 analogue); reps continue
+    candidates LSH band join with hot-band star fallback (blocking analogue)
+    verify     exact Jaccard on shingle sets (compute_match analogue)
+    cluster    connected components over exact ∪ verified edges
+               (replaces greedy 1:1 assignment, smart_merger.py:654-711)
+    contain    substring containment pass (merge_references analogue)
+    fuzzy      SimHash Hamming pairs (fuzzy-field Stage-4 analogue)
+
+With a RunContext each stage checkpoints to the warehouse and is skipped on
+relaunch when its manifest matches (config hash + input token).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bibexpy_spark.config import CANONICAL, DedupConfig
+from bibexpy_spark.functions import udfs
+from bibexpy_spark.lineage import RunContext
+from bibexpy_spark.operators import assembly, components, containment, exact, lsh, simhash
+from bibexpy_spark.operators import verify as verify_op
+
+
+def run_dedup(
+    spark: SparkSession,
+    turns: DataFrame,
+    cfg: DedupConfig = CANONICAL,
+    run: RunContext | None = None,
+    with_containment: bool = True,
+    with_simhash_pass: bool = True,
+) -> dict[str, Any]:
+    """Execute the pipeline; returns a dict of result DataFrames."""
+
+    def materialize(stage: str, build) -> DataFrame:
+        if run is not None:
+            return run.materialize(stage, build)
+        df = build()
+        # cache stages reused by multiple downstream consumers
+        return df
+
+    conv = materialize("assemble", lambda: assembly.assemble_conversations(turns))
+
+    def build_signed() -> DataFrame:
+        s = udfs.with_signature_columns(conv, cfg, text_col="doc")
+        if with_simhash_pass:
+            s = simhash.with_simhash(s, cfg)
+        return s
+
+    signed = materialize("sign", build_signed)
+    if run is None:
+        signed = signed.persist()
+
+    grouped = exact.exact_groups(signed)
+    exact_edge_df = materialize("exact_edges", lambda: exact.exact_edges(grouped))
+    reps = exact.representatives(grouped)
+
+    def build_candidates() -> DataFrame:
+        pairs, band_stats = lsh.candidate_pairs(reps, cfg)
+        if run is not None:
+            hot = band_stats.filter(F.col("star_mode")).count()
+            total = band_stats.count()
+            run.log_metric("candidates", hot_buckets=hot, active_buckets=total)
+        return pairs
+
+    cand = materialize("candidates", build_candidates)
+
+    verified = materialize(
+        "verify", lambda: verify_op.verify_pairs(cand, reps, cfg)
+    )
+    dup_edges = verified.filter(F.col("is_dup")).select("a_id", "b_id")
+
+    all_edges = exact_edge_df.select("a_id", "b_id").unionByName(dup_edges)
+    clusters = materialize(
+        "cluster",
+        lambda: components.connected_components(
+            all_edges, signed.select("conv_id"), cfg
+        ),
+    )
+
+    out: dict[str, Any] = {
+        "conversations": conv,
+        "signed": signed,
+        "exact_edges": exact_edge_df,
+        "candidate_pairs": cand,
+        "verified_pairs": verified,
+        "dup_edges": dup_edges,
+        "clusters": clusters,
+    }
+
+    if with_containment:
+        out["containment_prefix"] = materialize(
+            "contain_prefix", lambda: containment.prefix_containment_pairs(signed, cfg)
+        )
+    if with_simhash_pass:
+        out["simhash_pairs"] = materialize(
+            "fuzzy", lambda: simhash.simhash_pairs(signed, cfg)
+        )
+    return out
+
+
+def dup_pairs_from_clusters(clusters: DataFrame) -> DataFrame:
+    """Expand cluster assignments to all intra-cluster pairs (a_id < b_id).
+
+    Used by the recall metric: golden pairs are defined over the transitive
+    closure, so recall compares against every pair the clustering implies.
+    """
+    a = clusters.select(F.col("conv_id").alias("a_id"), "cluster_id")
+    b = clusters.select(F.col("conv_id").alias("b_id"), "cluster_id")
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
