@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship canonical dedup pipeline on the sf0.001
+transcript fixture; ``queries``/``oracle_sql`` expose the operator registry
+(bibexpy_spark.entry_queries) — one entry per implemented operator family
+from SURVEY.md §2 plus the training-data ops.
 """
 
 from __future__ import annotations
@@ -14,25 +13,37 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _ensure_fixtures() -> None:
+    """Materialize the deterministic transcript fixtures the queries and
+    oracle SQL read (BASELINE.json: transcripts are synthesized, not shipped)."""
+    from bibexpy_spark import corpus
+
+    for sf in ("sf0.001", "sf0.01"):
+        corpus.corpus_path_for_sf(f"/root/testdata/{sf}")
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: canonical near-dup pipeline (MinHash/LSH + Jaccard verify +
+    connected components) on sf0.001 transcripts -> cluster assignments."""
+    from bibexpy_spark import corpus, pipeline
+
+    _ensure_fixtures()
+    turns = spark.read.parquet(corpus.corpus_path_for_sf("/root/testdata/sf0.001"))
+    res = pipeline.run_dedup(
+        spark, turns, with_containment=False, with_simhash_pass=False
+    )
+    return res["clusters"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from bibexpy_spark import entry_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    _ensure_fixtures()
+    return entry_queries.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from bibexpy_spark import entry_queries
+
+    _ensure_fixtures()
+    return entry_queries.all_oracles()

@@ -1,0 +1,399 @@
+"""Training-data pipeline operators over the documents/embeddings tables:
+deduplication, similarity search, text analysis — the large-scale-pipeline
+surface beyond the reference's own operators (driver brief).
+
+SQL-expressible variants carry DuckDB oracles; the probabilistic/kernel
+variants (MinHash-LSH, SimHash) are rows-only here and oracle-checked in
+pytest against the shared-kernel brute force (tests/test_training_ops.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from bibexpy_spark.config import CANONICAL, DedupConfig
+from bibexpy_spark.functions import udfs
+
+K_DOC = 3  # word-3-grams for document near-dup (docs are shorter than convs)
+
+_EN_STOP = ("the", "and", "of", "to", "in", "is", "a", "that", "it", "for")
+_DE_STOP = ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von")
+_FR_STOP = ("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _norm_tokens(col: str = "text"):
+    norm = F.trim(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]+", " "))
+    return norm, F.split(norm, " ")
+
+
+# ---------------------------------------------------------------------------
+# deduplication family
+# ---------------------------------------------------------------------------
+
+def d_exact_dedup(spark, sf_dir):
+    """Exact dedup via content hash groupBy (hash partition-parallel)."""
+    d = _t(spark, sf_dir, "documents")
+    norm, _ = _norm_tokens()
+    return (
+        d.withColumn("content_sha", F.sha2(norm, 256))
+        .groupBy("content_sha")
+        .agg(F.count("*").alias("n_members"), F.min("doc_id").alias("rep_id"))
+    )
+
+
+def d_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (lossless inverted-index candidates +
+    exact Jaccard >= 0.5); integer cross-multiplied threshold."""
+    d = _t(spark, sf_dir, "documents")
+    norm, toks_e = _norm_tokens()
+    toks = d.select("doc_id", norm.alias("norm")).withColumn(
+        "toks", F.split("norm", " ")
+    )
+    grams = toks.withColumn(
+        "grams",
+        F.array_distinct(
+            F.when(
+                F.size("toks") >= K_DOC,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (K_DOC - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, K_DOC)),
+                ),
+            ).otherwise(F.array(F.col("norm")))
+        ),
+    )
+    sizes = grams.select("doc_id", F.size("grams").alias("n"))
+    ex = grams.select("doc_id", F.explode("grams").alias("g"))
+    shared = (
+        ex.alias("x")
+        .join(ex.alias("y"), "g")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "a_n"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "b_n"), "b_id")
+        .withColumn("union_n", F.col("a_n") + F.col("b_n") - F.col("inter"))
+        .filter(F.col("inter") * 2 >= F.col("union_n"))
+        .select("a_id", "b_id", "inter", "union_n")
+    )
+
+
+def d_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates on documents (canonical kernels);
+    rows-only driver check, kernel-oracle-checked in pytest."""
+    from bibexpy_spark.operators import lsh, verify as verify_op
+
+    d = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "conv_id")
+    signed = udfs.with_signature_columns(d, CANONICAL, text_col="text")
+    pairs, _ = lsh.candidate_pairs(signed, CANONICAL)
+    v = verify_op.verify_pairs(pairs, signed, CANONICAL)
+    return v.filter(F.col("is_dup")).select(
+        F.col("a_id").alias("a_doc"), F.col("b_id").alias("b_doc"), "jaccard"
+    )
+
+
+def d_simhash(spark, sf_dir):
+    """SimHash fingerprints of documents (rows-only driver check)."""
+    d = _t(spark, sf_dir, "documents")
+    u = udfs.for_config(CANONICAL)
+    return d.select(
+        "doc_id", u["simhash"](u["normalize"](F.col("text"))).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------------
+
+def d_langid(spark, sf_dir):
+    """Heuristic language ID by stopword-hit counts (deterministic argmax
+    with fixed tie order en > de > fr > unknown)."""
+    d = _t(spark, sf_dir, "documents")
+    _, toks = _norm_tokens()
+
+    def hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    en, de, fr = hits(_EN_STOP), hits(_DE_STOP), hits(_FR_STOP)
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return d.select(
+        "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        pred.alias("pred_lang"),
+    )
+
+
+def d_quality_score(spark, sf_dir):
+    """Quality signals: char len, token count, stopword count, distinct-token
+    count, plus a coarse keep/flag bucket — all integer outputs."""
+    d = _t(spark, sf_dir, "documents")
+    _, toks = _norm_tokens()
+    en_arr = F.array(*[F.lit(w) for w in _EN_STOP])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_arr, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    bucket = (
+        F.when(n_tokens < 5, "too_short")
+        .when(n_distinct * 2 < n_tokens, "repetitive")
+        .otherwise("keep")
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_distinct.alias("n_distinct_tokens"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+def d_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (word pieces and single non-space symbols)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    bpeish = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), 0)
+    )
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpeish.alias("n_bpeish_tokens"),
+    )
+
+
+def d_fingerprint(spark, sf_dir):
+    """Document fingerprint: sha256 over the normalized text plus a coarse
+    locality key (first 64 normalized chars) for prefix-level clustering."""
+    d = _t(spark, sf_dir, "documents")
+    norm, _ = _norm_tokens()
+    return d.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("fingerprint"),
+        F.substring(norm, 1, 64).alias("prefix_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search family
+# ---------------------------------------------------------------------------
+
+def e_knn_bruteforce(spark, sf_dir, k: int = 5, n_queries: int = 10):
+    """Brute-force cosine top-k: query vectors (vec_id < n_queries) vs all.
+
+    Dot/norm via JVM-native array ops (zip_with + aggregate, double math);
+    ranking on ROUND(cos, 4) with vec_id tie-break so the result is
+    engine-reproducible despite float summation order."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    j = q.crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
+    j = j.withColumn(
+        "cos",
+        F.round(
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / (
+                F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+                * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+            ),
+            4,
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def e_lsh_ann(spark, sf_dir, k: int = 5, n_queries: int = 10, n_planes: int = 8):
+    """LSH-bucketed ANN (random hyperplanes -> bucket equi-join -> exact
+    cosine within bucket).  The scale path: candidates shrink by ~2^planes.
+    Rows-only driver check; recall-vs-bruteforce asserted in pytest."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    rng = np.random.default_rng(CANONICAL.minhash_seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket_udf(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())  # (batch, dim)
+        bits = (m @ planes.T) > 0  # (batch, planes)
+        return pd.Series(np.packbits(bits, axis=1, bitorder="little")[:, 0].astype(np.int32))
+
+    b = e.withColumn("bucket", bucket_udf("embedding"))
+    q = b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = b.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket")
+
+    def dot(a, bb):
+        return F.aggregate(
+            F.zip_with(a, bb, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    j = q.join(c, "bucket").filter(F.col("query_id") != F.col("cand_id"))
+    j = j.withColumn(
+        "cos",
+        F.round(
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / (
+                F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+                * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+            ),
+            4,
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+QUERIES = {
+    "d_exact_dedup": d_exact_dedup,
+    "d_ngram_jaccard_pairs": d_ngram_jaccard_pairs,
+    "d_minhash_lsh_pairs": d_minhash_lsh_pairs,
+    "d_simhash": d_simhash,
+    "d_langid": d_langid,
+    "d_quality_score": d_quality_score,
+    "d_token_count": d_token_count,
+    "d_fingerprint": d_fingerprint,
+    "e_knn_bruteforce": e_knn_bruteforce,
+    "e_lsh_ann": e_lsh_ann,
+}
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def _hits_sql(words) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"CAST(len(list_filter(toks, t -> list_contains({lst}, t))) AS INT)"
+
+
+ORACLES = {
+    "d_exact_dedup": f"""
+      SELECT sha256({_NORM_SQL}) AS content_sha,
+             CAST(count(*) AS BIGINT) AS n_members,
+             min(doc_id) AS rep_id
+      FROM documents GROUP BY 1
+    """,
+    "d_ngram_jaccard_pairs": f"""
+      WITH normed AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+      toks AS (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM normed),
+      grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 CASE WHEN len(t) >= {K_DOC}
+                      THEN list_transform(range(1, len(t) - {K_DOC} + 2),
+                           i -> array_to_string(list_slice(t, i, i + {K_DOC} - 1), ' '))
+                      ELSE [norm] END)) AS g
+        FROM toks
+      ),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+      shared AS (
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
+        FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT a_id, b_id, inter, sa.n + sb.n - inter AS union_n
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE inter * 2 >= (sa.n + sb.n - inter)
+    """,
+    "d_langid": f"""
+      WITH toked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+      scored AS (
+        SELECT doc_id,
+               {_hits_sql(_EN_STOP)} AS en_hits,
+               {_hits_sql(_DE_STOP)} AS de_hits,
+               {_hits_sql(_FR_STOP)} AS fr_hits
+        FROM toked
+      )
+      SELECT doc_id, en_hits, de_hits, fr_hits,
+             CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                  WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                  WHEN fr_hits > 0 THEN 'fr'
+                  ELSE 'unknown' END AS pred_lang
+      FROM scored
+    """,
+    "d_quality_score": f"""
+      WITH toked AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars_raw,
+             CAST(len(toks) AS INT) AS n_tokens,
+             {_hits_sql(_EN_STOP)} AS n_stopwords,
+             CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+             CASE WHEN len(toks) < 5 THEN 'too_short'
+                  WHEN len(list_distinct(toks)) * 2 < len(toks) THEN 'repetitive'
+                  ELSE 'keep' END AS quality_bucket
+      FROM toked
+    """,
+    "d_token_count": """
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+               AS n_bpeish_tokens
+      FROM documents
+    """,
+    "d_fingerprint": f"""
+      SELECT doc_id,
+             sha256({_NORM_SQL}) AS fingerprint,
+             substr({_NORM_SQL}, 1, 64) AS prefix_key
+      FROM documents
+    """,
+    "e_knn_bruteforce": """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c_emb
+            FROM embeddings),
+      sims AS (
+        SELECT query_id, cand_id,
+               ROUND(
+                 list_dot_product(q_emb, c_emb)
+                 / (sqrt(list_dot_product(q_emb, q_emb))
+                    * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos
+        FROM q, c WHERE query_id <> cand_id
+      )
+      SELECT query_id, cand_id, cos, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM sims
+      ) WHERE rank <= 5
+    """,
+}

@@ -1,0 +1,357 @@
+"""Transcript-table queries (the dedup core) with DuckDB oracles.
+
+The oracle-checked variants use a *SQL-expressible* normalization (lower +
+non-alnum->space + collapse) so DuckDB can reproduce them exactly; the
+canonical pipeline (NFKD fold + MinHash/LSH + SimHash) additionally runs as
+rows-only-checked queries and is verified against the brute-force oracle in
+pytest (tests/test_pipeline_golden.py) — the stronger check.
+
+The transcripts fixture is synthesized deterministically per scale factor
+(BASELINE.json: no transcript table ships in testdata; north rule says build
+over exactly the input_hint shape) — both the Spark queries and the DuckDB
+oracle SQL read the same parquet file, so the comparison is end-to-end real.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bibexpy_spark import corpus, pipeline
+from bibexpy_spark.config import CANONICAL
+from bibexpy_spark.operators import assembly, components
+
+K = 5  # shingle size for the SQL-expressible family (matches CANONICAL)
+
+
+# ---------------------------------------------------------------------------
+# shared Spark-side building blocks (SQL-expressible normalization)
+# ---------------------------------------------------------------------------
+
+def load_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(corpus.corpus_path_for_sf(sf_dir))
+
+
+def conv_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assembled conversations: conv_id, n_turns, doc."""
+    return assembly.assemble_conversations(load_turns(spark, sf_dir)).select(
+        "conv_id", "n_turns", "doc"
+    )
+
+
+def _with_sql_norm(conv: DataFrame) -> DataFrame:
+    return conv.withColumn(
+        "norm",
+        F.trim(F.regexp_replace(F.lower(F.col("doc")), "[^a-z0-9]+", " ")),
+    )
+
+
+def _with_grams(conv: DataFrame, k: int = K) -> DataFrame:
+    """Distinct word-k-gram strings per conversation (JVM-native)."""
+    normed = _with_sql_norm(conv)
+    toks = normed.withColumn("toks", F.split("norm", " "))
+    return toks.withColumn(
+        "grams",
+        F.array_distinct(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, k)),
+                ),
+            ).otherwise(F.array(F.col("norm")))
+        ),
+    )
+
+
+def _sql_gram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with >=1 shared k-gram + exact Jaccard >= 0.8.
+
+    Candidate generation by inverted-index equi-join on the gram — LOSSLESS
+    (any pair with Jaccard > 0 shares a gram), so the result equals all-pairs
+    Jaccard and is oracle-checkable; the probabilistic LSH variant is
+    ``t_minhash_dup_pairs`` below.
+    """
+    grams = _with_grams(conv_df(spark, sf_dir))
+    sizes = grams.select("conv_id", F.size("grams").alias("n"))
+    ex = grams.select("conv_id", F.explode("grams").alias("g"))
+    shared = (
+        ex.alias("x")
+        .join(ex.alias("y"), "g")
+        .filter(F.col("x.conv_id") < F.col("y.conv_id"))
+        .groupBy(F.col("x.conv_id").alias("a_id"), F.col("y.conv_id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        shared.join(sizes.withColumnRenamed("conv_id", "a_id").withColumnRenamed("n", "a_n"), "a_id")
+        .join(sizes.withColumnRenamed("conv_id", "b_id").withColumnRenamed("n", "b_n"), "b_id")
+        .withColumn("union_n", F.col("a_n") + F.col("b_n") - F.col("inter"))
+        .filter(F.col("inter") * 5 >= F.col("union_n") * 4)
+    )
+    return j.select(
+        "a_id",
+        "b_id",
+        "inter",
+        "union_n",
+        F.round(F.col("inter").cast("double") / F.col("union_n"), 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_df(spark, sf_dir)
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by sha256 of the assembled doc (Stage-1
+    analogue, reference smart_merger.py:253-265 / MergeDB.py:782-829)."""
+    return (
+        conv_df(spark, sf_dir)
+        .withColumn("content_sha", F.sha2(F.col("doc"), 256))
+        .groupBy("content_sha")
+        .agg(F.count("*").alias("n_members"), F.min("conv_id").alias("rep_id"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def q_gram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_gram_pairs(spark, sf_dir)
+
+
+def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the lossless gram-pair edges (iterative
+    large-star/small-star, replacing greedy 1:1 matching,
+    reference smart_merger.py:654-711)."""
+    conv = conv_df(spark, sf_dir)
+    edges = _sql_gram_pairs(spark, sf_dir).select("a_id", "b_id")
+    return components.connected_components(edges, conv.select("conv_id"), CANONICAL)
+
+
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = q_clusters(spark, sf_dir)
+    return (
+        cl.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
+def q_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-containment pairs on SQL-expressible normalization (suffix-pass
+    analogue of reference merge_references, MergeDB.py:210-278)."""
+    keyed = _with_sql_norm(conv_df(spark, sf_dir)).select(
+        "conv_id",
+        "norm",
+        F.length("norm").alias("len"),
+        F.concat_ws(" ", F.slice(F.split("norm", " "), 1, 8)).alias("pkey"),
+    )
+    a = keyed.select(
+        F.col("conv_id").alias("inner_id"),
+        F.col("norm").alias("inner_norm"),
+        F.col("len").alias("inner_len"),
+        "pkey",
+    )
+    b = keyed.select(
+        F.col("conv_id").alias("outer_id"),
+        F.col("norm").alias("outer_norm"),
+        F.col("len").alias("outer_len"),
+        "pkey",
+    )
+    return (
+        a.join(b, "pkey")
+        .filter(
+            (F.col("inner_id") != F.col("outer_id"))
+            & (F.col("inner_len") < F.col("outer_len"))
+            & F.col("outer_norm").startswith(F.col("inner_norm"))
+        )
+        .select("inner_id", "outer_id")
+    )
+
+
+def q_turn_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn text equality invariant: assemble then explode back; counts
+    must equal the raw input per conversation (input_hint invariant)."""
+    turns = load_turns(spark, sf_dir)
+    back = assembly.explode_back(assembly.assemble_conversations(turns))
+    joined = turns.alias("i").join(
+        back.alias("o"),
+        (F.col("i.conv_id") == F.col("o.conv_id"))
+        & (F.col("i.turn_idx") == F.col("o.turn_idx"))
+        & (F.col("i.text") == F.col("o.text"))
+        & (F.col("i.role") == F.col("o.role")),
+        "inner",
+    )
+    return (
+        joined.groupBy(F.col("i.conv_id").alias("conv_id"))
+        .agg(F.count("*").alias("n_matched"))
+    )
+
+
+def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical pipeline verified dup pairs (MinHash/LSH + exact Jaccard).
+    No SQL oracle — probabilistic candidate generation; correctness is the
+    pytest golden-fixture recall gate."""
+    res = pipeline.run_dedup(
+        spark, load_turns(spark, sf_dir),
+        with_containment=False, with_simhash_pass=False,
+    )
+    return res["dup_edges"].select("a_id", "b_id")
+
+
+def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full canonical pipeline cluster assignments (rows-only check)."""
+    res = pipeline.run_dedup(
+        spark, load_turns(spark, sf_dir),
+        with_containment=False, with_simhash_pass=False,
+    )
+    return res["clusters"]
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-bucket pairs (rows-only check; oracle in pytest)."""
+    res = pipeline.run_dedup(
+        spark, load_turns(spark, sf_dir),
+        with_containment=False, with_simhash_pass=True,
+    )
+    return res["simhash_pairs"]
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+def _fixture(sf: str) -> str:
+    return f"read_parquet('/root/repo/data/transcripts_{sf}.parquet')"
+
+
+_SF = "sf0.01"  # the driver's correctness scale
+
+_CONV = f"""
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS doc
+  FROM {_fixture(_SF)}
+  GROUP BY conv_id
+"""
+
+_NORM = "trim(regexp_replace(lower(doc), '[^a-z0-9]+', ' ', 'g'))"
+
+_GRAMS = f"""
+  WITH conv AS ({_CONV}),
+  normed AS (SELECT conv_id, {_NORM} AS norm FROM conv),
+  toks AS (SELECT conv_id, norm, string_split(norm, ' ') AS t FROM normed),
+  grams AS (
+    SELECT conv_id,
+           unnest(list_distinct(
+             CASE WHEN len(t) >= {K}
+                  THEN list_transform(range(1, len(t) - {K} + 2),
+                       i -> array_to_string(list_slice(t, i, i + {K} - 1), ' '))
+                  ELSE [norm] END)) AS g
+    FROM toks
+  )
+"""
+
+_PAIRS = f"""
+  {_GRAMS},
+  sizes AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY conv_id),
+  shared AS (
+    SELECT x.conv_id AS a_id, y.conv_id AS b_id, CAST(count(*) AS BIGINT) AS inter
+    FROM grams x JOIN grams y ON x.g = y.g AND x.conv_id < y.conv_id
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT a_id, b_id, inter, sa.n + sb.n - inter AS union_n
+    FROM shared
+    JOIN sizes sa ON sa.conv_id = a_id
+    JOIN sizes sb ON sb.conv_id = b_id
+    WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
+  )
+"""
+
+QUERIES = {
+    "t_assemble": q_assemble,
+    "t_exact_dup_groups": q_exact_dup_groups,
+    "t_gram_dup_pairs": q_gram_dup_pairs,
+    "t_clusters": q_clusters,
+    "t_cluster_size_histogram": q_cluster_size_histogram,
+    "t_prefix_containment": q_prefix_containment,
+    "t_turn_roundtrip": q_turn_roundtrip,
+    "t_minhash_dup_pairs": q_minhash_dup_pairs,
+    "t_canonical_clusters": q_canonical_clusters,
+    "t_simhash_pairs": q_simhash_pairs,
+}
+
+ORACLES = {
+    "t_assemble": _CONV,
+    "t_exact_dup_groups": f"""
+      WITH conv AS ({_CONV})
+      SELECT sha256(doc) AS content_sha,
+             CAST(count(*) AS BIGINT) AS n_members,
+             min(conv_id) AS rep_id
+      FROM conv GROUP BY 1 HAVING count(*) > 1
+    """,
+    "t_gram_dup_pairs": f"""
+      {_PAIRS}
+      SELECT a_id, b_id, inter, union_n,
+             ROUND(CAST(inter AS DOUBLE) / union_n, 6) AS jaccard
+      FROM pairs
+    """,
+    "t_clusters": f"""
+      {_PAIRS},
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs
+      ),
+      nodes AS (SELECT conv_id FROM ({_CONV})),
+      reach AS (
+        WITH RECURSIVE r(node, lab) AS (
+          SELECT conv_id, conv_id FROM nodes
+          UNION
+          SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.node
+          WHERE r.lab < e.dst
+        ) SELECT * FROM r
+      )
+      SELECT node AS conv_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    """,
+    "t_cluster_size_histogram": f"""
+      {_PAIRS},
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs
+      ),
+      nodes AS (SELECT conv_id FROM ({_CONV})),
+      reach AS (
+        WITH RECURSIVE r(node, lab) AS (
+          SELECT conv_id, conv_id FROM nodes
+          UNION
+          SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.node
+          WHERE r.lab < e.dst
+        ) SELECT * FROM r
+      ),
+      cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+      szs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM cl GROUP BY cluster_id)
+      SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM szs GROUP BY sz
+    """,
+    "t_prefix_containment": f"""
+      WITH conv AS ({_CONV}),
+      normed AS (SELECT conv_id, {_NORM} AS norm FROM conv),
+      keyed AS (
+        SELECT conv_id, norm, length(norm) AS len,
+               array_to_string(list_slice(string_split(norm, ' '), 1, 8), ' ') AS pkey
+        FROM normed
+      )
+      SELECT a.conv_id AS inner_id, b.conv_id AS outer_id
+      FROM keyed a JOIN keyed b ON a.pkey = b.pkey
+      WHERE a.conv_id <> b.conv_id AND a.len < b.len
+        AND starts_with(b.norm, a.norm)
+    """,
+    "t_turn_roundtrip": f"""
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_matched
+      FROM {_fixture(_SF)}
+      GROUP BY conv_id
+    """,
+}

@@ -1,0 +1,93 @@
+"""Resume-from-checkpoint tests (north rule: "resumes mid-run without
+recomputation"; reference analogue: skip-if-fresh, converter.py:103-111,
+and the analysis-folder lifecycle, analyses.py:58-101)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from bibexpy_spark import pipeline
+from bibexpy_spark.config import CANONICAL
+from bibexpy_spark.lineage import RunContext, input_token_for_paths
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "warehouse")
+
+
+def _metrics(run: RunContext) -> list[dict]:
+    path = os.path.join(run.run_dir, "metrics.jsonl")
+    with open(path) as f:
+        return [json.loads(line) for line in f]
+
+
+def test_full_run_then_resume_skips_all_stages(spark, turns_df, warehouse, golden):
+    run1 = RunContext(spark, CANONICAL, warehouse, run_id="runA", input_token="tok1")
+    res1 = pipeline.run_dedup(spark, turns_df, CANONICAL, run=run1)
+    clusters1 = res1["clusters"].toPandas().sort_values("conv_id").reset_index(drop=True)
+
+    # relaunch with the same run_id + same config + same input token
+    run2 = RunContext(spark, CANONICAL, warehouse, run_id="runA", input_token="tok1")
+    res2 = pipeline.run_dedup(spark, turns_df, CANONICAL, run=run2)
+    clusters2 = res2["clusters"].toPandas().sort_values("conv_id").reset_index(drop=True)
+
+    skipped = {m["stage"] for m in _metrics(run2) if m.get("skipped")}
+    for stage in ("assemble", "sign", "exact_edges", "candidates", "verify", "cluster"):
+        assert stage in skipped, f"stage {stage} recomputed on resume"
+    assert clusters1.equals(clusters2)
+
+    # resumed result still matches the oracle
+    want = golden["clusters"].sort_values("conv_id").reset_index(drop=True)
+    assert clusters2.equals(want)
+
+
+def test_mid_run_kill_resumes_from_checkpoint(spark, turns_df, warehouse):
+    """Simulate a crash after the sign stage: delete downstream manifests,
+    relaunch, and assert the completed stages report checkpoint hits."""
+    run1 = RunContext(spark, CANONICAL, warehouse, run_id="runB", input_token="tok1")
+    pipeline.run_dedup(spark, turns_df, CANONICAL, run=run1)
+
+    # "kill" after stage 2: drop everything downstream of sign
+    for stage in ("exact_edges", "candidates", "verify", "cluster",
+                  "contain_prefix", "fuzzy"):
+        mp = os.path.join(run1.run_dir, f"{stage}.manifest.json")
+        if os.path.exists(mp):
+            os.remove(mp)
+
+    run2 = RunContext(spark, CANONICAL, warehouse, run_id="runB", input_token="tok1")
+    pipeline.run_dedup(spark, turns_df, CANONICAL, run=run2)
+    by_stage = {m["stage"]: m for m in _metrics(run2) if "skipped" in m}
+    assert by_stage["assemble"]["skipped"] is True
+    assert by_stage["sign"]["skipped"] is True
+    assert by_stage["cluster"]["skipped"] is False
+
+
+def test_config_change_invalidates_checkpoints(spark, turns_df, warehouse):
+    from bibexpy_spark.config import DedupConfig
+
+    run1 = RunContext(spark, CANONICAL, warehouse, run_id="runC", input_token="tok1")
+    pipeline.run_dedup(spark, turns_df, CANONICAL, run=run1)
+
+    other = DedupConfig(jaccard_threshold=0.7)
+    run2 = RunContext(spark, other, warehouse, run_id="runC", input_token="tok1")
+    assert not run2.stage_fresh("assemble")
+
+
+def test_input_change_invalidates_checkpoints(spark, turns_df, warehouse):
+    run1 = RunContext(spark, CANONICAL, warehouse, run_id="runD", input_token="tok1")
+    pipeline.run_dedup(spark, turns_df, CANONICAL, run=run1)
+    run2 = RunContext(spark, CANONICAL, warehouse, run_id="runD", input_token="tok2")
+    assert not run2.stage_fresh("assemble")
+
+
+def test_input_token_fingerprints_files(tmp_path):
+    p = tmp_path / "x.parquet"
+    p.write_bytes(b"abc")
+    t1 = input_token_for_paths(str(p))
+    p.write_bytes(b"abcd")
+    t2 = input_token_for_paths(str(p))
+    assert t1 != t2
