@@ -51,41 +51,14 @@ def d_exact_dedup(spark, sf_dir):
 
 
 def d_ngram_jaccard_pairs(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs (lossless inverted-index candidates +
-    exact Jaccard >= 0.5); integer cross-multiplied threshold."""
+    """n-gram Jaccard near-dup pairs (two-phase lossless plan,
+    operators/ngram.py) at threshold 1/2."""
+    from bibexpy_spark.operators import ngram
+
     d = _t(spark, sf_dir, "documents")
-    norm, toks_e = _norm_tokens()
-    toks = d.select("doc_id", norm.alias("norm")).withColumn(
-        "toks", F.split("norm", " ")
-    )
-    grams = toks.withColumn(
-        "grams",
-        F.array_distinct(
-            F.when(
-                F.size("toks") >= K_DOC,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (K_DOC - 1)),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, K_DOC)),
-                ),
-            ).otherwise(F.array(F.col("norm")))
-        ),
-    )
-    sizes = grams.select("doc_id", F.size("grams").alias("n"))
-    ex = grams.select("doc_id", F.explode("grams").alias("g"))
-    shared = (
-        ex.alias("x")
-        .join(ex.alias("y"), "g")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        shared.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "a_n"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "b_n"), "b_id")
-        .withColumn("union_n", F.col("a_n") + F.col("b_n") - F.col("inter"))
-        .filter(F.col("inter") * 2 >= F.col("union_n"))
-        .select("a_id", "b_id", "inter", "union_n")
-    )
+    return ngram.gram_jaccard_pairs(
+        d, "doc_id", "text", K_DOC, t_num=1, t_den=2
+    ).select("a_id", "b_id", "inter", "union_n")
 
 
 def d_minhash_lsh_pairs(spark, sf_dir):

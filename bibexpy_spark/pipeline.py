@@ -61,6 +61,8 @@ def run_dedup(
         signed = signed.persist()
 
     grouped = exact.exact_groups(signed)
+    if run is None:
+        grouped = grouped.persist()  # window over content_sha: one shuffle, reused 3x
     exact_edge_df = materialize("exact_edges", lambda: exact.exact_edges(grouped))
     reps = exact.representatives(grouped)
 
