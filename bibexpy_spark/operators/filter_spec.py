@@ -50,7 +50,7 @@ def compile_contains_any(col: str, needles: list[str]) -> F.Column:
     return cond
 
 
-_TOKEN_RE = re.compile(r'"([^"]*)"|(\bAND\b|\bOR\b|\bNOT\b|\(|\))|(\S+)', re.I)
+_TOKEN_RE = re.compile(r'"([^"]*)"|(\bAND\b|\bOR\b|\bNOT\b|\(|\))|([^\s()]+)', re.I)
 
 
 def compile_fulltext(cols: list[str], query: str) -> F.Column:

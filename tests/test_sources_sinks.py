@@ -1,0 +1,111 @@
+"""Tests for the WoS/Scopus scans and the export sinks (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bibexpy_spark.sinks import exporters
+from bibexpy_spark.sources import scopus, wos
+
+
+@pytest.fixture(scope="module")
+def wos_df(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("wos") / "sample.txt")
+    wos.write_sample_wos(path, n_docs=25)
+    return wos.read_wos_tagged(spark, path).persist()
+
+
+def test_wos_scan_doc_count_and_tags(wos_df):
+    assert wos_df.count() == 25
+    for tag in ("PT", "AU", "TI", "SO", "PY", "DI", "TC", "C1", "C1raw"):
+        assert tag in wos_df.columns, f"missing tag column {tag}"
+
+
+def test_wos_continuation_lines_joined(wos_df):
+    """Multi-line AU and TI must merge continuation lines under one tag
+    (reference isi2df '---'-join, wos2xlsx.py:21-64)."""
+    row = wos_df.filter(F.col("AU").contains("AUTHOR0")).first()
+    assert "---" in row["AU"]            # two author lines -> joined
+    assert "COAUTHOR0" in row["AU"]
+    assert "---" in row["TI"]            # title wrapped across lines
+
+
+def test_wos_uppercase_except_di(wos_df):
+    row = wos_df.orderBy("doc_id").first()
+    assert row["SO"] == row["SO"].upper()
+    assert row["DI"].startswith("10.")   # DI preserves case (lowercase doi)
+    assert "synthetic" in row["DI"]
+
+
+def test_scopus_multi_csv_union_and_rename(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("scp"))
+    paths = scopus.write_sample_scopus(d)
+    df = scopus.read_scopus_csv(spark, paths)
+    # common columns only: Abstract exists in file A only -> dropped
+    assert "AB" not in df.columns
+    for tag in ("AU", "TI", "PY", "SO", "DI", "TC"):
+        assert tag in df.columns
+    assert df.count() == 20  # 12 + 8
+    # uppercase applied except DI
+    row = df.orderBy("DI").first()
+    assert row["SO"] == row["SO"].upper()
+    assert "scp" in row["DI"]
+
+
+@pytest.fixture(scope="module")
+def records_df(spark):
+    rows = [
+        ("Smith, J.; Doe, A.", "A Study of Things", "JOURNAL ONE", "2020",
+         "10.1/x.1", "kw1; kw2", "5"),
+        ("Lee, B.", "Another & Better {Study}", "JOURNAL TWO", "2021",
+         "10.2/y.2", "kw3", ""),
+    ]
+    return spark.createDataFrame(
+        rows, ["AU", "TI", "SO", "PY", "DI", "DE", "TC"]
+    )
+
+
+def test_wos_text_sink(records_df):
+    texts = [r["text"] for r in exporters.to_wos_text(records_df).collect()]
+    assert all(t.startswith("PT J") for t in texts)
+    assert all(t.rstrip().endswith("ER") for t in texts)
+    joined = "\n".join(texts)
+    assert "AU Smith, J.\n   Doe, A." in joined  # multi-value -> one per line
+    assert "DI 10.1/x.1" in joined
+    # empty TC cell must be omitted entirely
+    assert "\nTC \n" not in joined
+
+
+def test_ris_sink(records_df):
+    texts = [r["text"] for r in exporters.to_ris_text(records_df).collect()]
+    assert all(t.startswith("TY  - JOUR") for t in texts)
+    joined = "\n".join(texts)
+    assert "AU  - Smith, J." in joined
+    assert "AU  - Doe, A." in joined
+    assert "DO  - 10.1/x.1" in joined
+    assert "ER  - " in joined
+
+
+def test_bibtex_sink_escapes_latex(records_df):
+    texts = [r["text"] for r in exporters.to_bibtex_text(records_df).collect()]
+    joined = "\n".join(texts)
+    assert "@article{" in joined
+    assert "author = {Smith, J. and Doe, A.}" in joined
+    assert "\\&" in joined            # & escaped
+    assert "\\{Study\\}" in joined    # braces escaped
+
+
+def test_vos_tsv_column_subset(records_df):
+    out = exporters.to_vos_tsv(records_df)
+    assert set(out.columns) == {"AU", "TI", "SO", "PY", "TC", "DI", "DE"}
+
+
+def test_export_dispatch(records_df, tmp_path):
+    exporters.export(records_df, str(tmp_path / "c"), "csv")
+    exporters.export(records_df, str(tmp_path / "w"), "wos")
+    assert os.path.isdir(str(tmp_path / "c"))
+    with pytest.raises(ValueError):
+        exporters.export(records_df, str(tmp_path / "z"), "nope")
