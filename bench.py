@@ -43,26 +43,37 @@ def _force(df) -> int:
     return 0
 
 
-def bench_pipeline(cores: int, turns_path: str) -> dict:
+def bench_pipeline(cores: int, turns_path: str, repeats: int = 2) -> dict:
+    """One scaling leg: full pipeline wall time at a parallelism level.
+
+    Best-of-``repeats``: this sandbox shows intermittent host-level CPU
+    throttling (2-50x swings on identical numpy ops), so the minimum wall
+    time is the capability estimate; all runs are reported.
+    """
     from bibexpy_spark import pipeline
     from bibexpy_spark.session import build_spark
 
-    spark = build_spark(
-        app_name=f"bench_dedup_{cores}", cores=cores, shuffle_partitions=cores
-    )
-    turns = spark.read.parquet(turns_path)
-    n_turns = turns.count()
-    t0 = time.time()
-    res = pipeline.run_dedup(
-        spark, turns, with_containment=False, with_simhash_pass=False
-    )
-    n_clusters = res["clusters"].select("cluster_id").distinct().count()
-    wall = time.time() - t0
-    spark.stop()
+    walls = []
+    n_turns = n_clusters = 0
+    for _ in range(repeats):
+        spark = build_spark(
+            app_name=f"bench_dedup_{cores}", cores=cores, shuffle_partitions=cores
+        )
+        turns = spark.read.parquet(turns_path)
+        n_turns = turns.count()
+        t0 = time.time()
+        res = pipeline.run_dedup(
+            spark, turns, with_containment=False, with_simhash_pass=False
+        )
+        n_clusters = res["clusters"].select("cluster_id").distinct().count()
+        walls.append(time.time() - t0)
+        spark.stop()
+    wall = min(walls)
     return {
         "cores": cores,
         "n_turns": n_turns,
         "wall_s": round(wall, 2),
+        "all_runs_s": [round(w, 2) for w in walls],
         "turns_per_sec": round(n_turns / wall, 1),
         "n_clusters": n_clusters,
     }
@@ -73,11 +84,20 @@ def main() -> None:
     from bibexpy_spark.session import build_spark
 
     sf = os.path.basename(SF_DIR.rstrip("/"))
-    turns_path = corpus.corpus_path_for_sf(SF_DIR)
+    corpus.corpus_path_for_sf(SF_DIR)
 
     # --- scaling: same job, same input, two parallelism levels -------------
+    # dedicated larger corpus (120k conversations, ~1.1M turns): at the
+    # driver-fixture sizes the pipeline is scheduling-latency-bound and no
+    # parallelism level can show its throughput
+    bench_corpus = corpus.write_parquet(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "data", "transcripts_bench.parquet"),
+        120_000, seed=43,
+    )
     legs = [CPUS] if FAST else [8, CPUS]
-    scaling = {c: bench_pipeline(c, turns_path) for c in legs}
+    scaling = {c: bench_pipeline(c, bench_corpus, repeats=1 if FAST else 2)
+               for c in legs}
     lo, hi = min(scaling), max(scaling)
     eff = None
     if lo != hi:

@@ -189,7 +189,13 @@ def write_parquet(path: str, n_conversations: int, seed: int = 42) -> str:
         pa.field("ts", pa.timestamp("us")),
     ])
     tmp = path + ".tmp"
-    pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), tmp)
+    # small row groups so Spark can split the scan across tasks (a single
+    # row group pins the read + first shuffle-write to one core)
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+        tmp,
+        row_group_size=50_000,
+    )
     os.replace(tmp, path)
     return path
 

@@ -36,13 +36,21 @@ _U64 = np.uint64
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over a uint64 array."""
+    """Vectorized splitmix64 finalizer over a uint64 array (in place on a
+    copy; all temporaries reuse one scratch buffer)."""
+    out = x.copy()
+    tmp = np.empty_like(out)
     with np.errstate(over="ignore"):
-        x = (x + _GOLDEN).astype(np.uint64)
-        x = (x ^ (x >> _U64(30))) * _MIX1
-        x = (x ^ (x >> _U64(27))) * _MIX2
-        x = x ^ (x >> _U64(31))
-    return x
+        np.add(out, _GOLDEN, out=out)
+        np.right_shift(out, _U64(30), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+        np.multiply(out, _MIX1, out=out)
+        np.right_shift(out, _U64(27), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+        np.multiply(out, _MIX2, out=out)
+        np.right_shift(out, _U64(31), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+    return out
 
 
 def hash_str_u64(s: str) -> int:
@@ -130,12 +138,14 @@ def shingle_sets(norm_texts: pd.Series, cfg: DedupConfig) -> list[np.ndarray]:
     total = len(flat)
 
     # combined hash for every flat window start (may cross row boundaries;
-    # invalid starts are filtered by per-row slicing below)
+    # invalid starts are filtered by per-row slicing below); in-place ops
+    # into one buffer (allocation churn is expensive on this platform)
     if total >= k:
         with np.errstate(over="ignore"):
             acc = flat[: total - k + 1].copy()
             for j in range(1, k):
-                acc = (acc * _MIX1) ^ flat[j: total - k + 1 + j]
+                np.multiply(acc, _MIX1, out=acc)
+                np.bitwise_xor(acc, flat[j: total - k + 1 + j], out=acc)
             acc = _splitmix64(acc)
     else:
         acc = np.empty(0, dtype=np.uint64)
@@ -170,29 +180,50 @@ def minhash_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_MINHASH_BLOCK = 32_768  # shingles per work block (buf = num_perm x block)
+
+
 def minhash_signatures(shingles: list[np.ndarray], cfg: DedupConfig) -> np.ndarray:
     """Batched MinHash: (n_rows, num_perm) uint64.
 
-    Fully vectorized via one flat (perm x total_shingles) matrix per
-    perm-chunk and ``np.minimum.reduceat`` with row offsets — the "batched
-    MinHash in vectorized pandas/Arrow UDFs" of the north rule.
+    Vectorized (a*h + b) over a REUSED (num_perm x block) buffer — this
+    platform pays ~20x for large allocation churn (mmap/munmap storms across
+    parallel workers), so all hot-loop temporaries are written with ``out=``
+    into preallocated arrays.  Rows are packed into blocks of ~32k shingles;
+    the per-row signature is a single vectorized column-slice min.
     """
     a, b = minhash_params(cfg)
     n = len(shingles)
     counts = np.fromiter((len(s) for s in shingles), dtype=np.int64, count=n)
-    offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(counts[:-1], out=offsets[1:])
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
     flat = np.concatenate(shingles) if n else np.empty(0, dtype=np.uint64)
     sig = np.empty((n, cfg.num_perm), dtype=np.uint64)
     if len(flat) == 0:
         return sig
-    # chunk the permutation axis to bound memory (~16 perms x batch shingles)
-    chunk = 16
+
+    cap = max(_MINHASH_BLOCK, int(counts.max()) if n else 0)
+    buf = np.empty((cfg.num_perm, cap), dtype=np.uint64)
+    a_col = np.ascontiguousarray(a[:, None])
+    b_col = np.ascontiguousarray(b[:, None])
+
     with np.errstate(over="ignore"):
-        for p0 in range(0, cfg.num_perm, chunk):
-            p1 = min(p0 + chunk, cfg.num_perm)
-            hashed = a[p0:p1, None] * flat[None, :] + b[p0:p1, None]  # (chunk, total)
-            sig[:, p0:p1] = np.minimum.reduceat(hashed, offsets, axis=1).T
+        r = 0
+        while r < n:
+            # pack rows [r, r2) with total shingles <= cap (>=1 row always)
+            r2 = r + 1
+            lo = offsets[r]
+            while r2 < n and offsets[r2 + 1] - lo <= cap:
+                r2 += 1
+            hi = offsets[r2]
+            m = int(hi - lo)
+            view = buf[:, :m]
+            np.multiply(a_col, flat[None, lo:hi], out=view)
+            np.add(view, b_col, out=view)
+            for i in range(r, r2):
+                s, e = int(offsets[i] - lo), int(offsets[i + 1] - lo)
+                sig[i] = view[:, s:e].min(axis=1)
+            r = r2
     return sig
 
 
@@ -235,13 +266,17 @@ def simhash64(norm_texts: pd.Series, cfg: DedupConfig) -> np.ndarray:
     counts = np.diff(offsets)
     rows = np.repeat(np.arange(n, dtype=np.int64), counts)
     # per-bit segment sums via weighted bincount: each pass is a shift/mask
-    # over the flat uint64s plus one bincount — all contiguous streaming ops
-    # (cumsum/reduceat segment tricks are pathologically slow on this
-    # platform's memory subsystem; bincount is not)
+    # over the flat uint64s plus one bincount — contiguous streaming ops into
+    # REUSED buffers (cumsum/reduceat segment tricks and allocation churn are
+    # pathologically slow on this platform)
     ones = np.empty((n, 64), dtype=np.int64)
+    ubuf = np.empty_like(flat)
+    fbuf = np.empty(len(flat), dtype=np.float64)
     for b in range(64):
-        bit = ((flat >> _U64(b)) & _U64(1)).astype(np.float64)
-        ones[:, b] = np.bincount(rows, weights=bit, minlength=n).astype(np.int64)
+        np.right_shift(flat, _U64(b), out=ubuf)
+        np.bitwise_and(ubuf, _U64(1), out=ubuf)
+        np.copyto(fbuf, ubuf, casting="unsafe")
+        ones[:, b] = np.bincount(rows, weights=fbuf, minlength=n).astype(np.int64)
     # signed sum = 2*ones - n_tokens; majority bit = (2*ones > n_tokens)
     h = (2 * ones > counts[:, None]).astype(np.uint64)
     h[counts == 0] = 0

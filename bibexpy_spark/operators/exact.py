@@ -13,16 +13,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 
 def exact_groups(signed: DataFrame, id_col: str = "conv_id") -> DataFrame:
     """Add ``exact_rep``: the minimum id sharing this row's content hash.
 
-    One window over content_sha — a single shuffle, no join.
+    Shuffle-narrow plan: a window over the full row would shuffle the wide
+    signature payload (shingle + band arrays); instead aggregate the
+    (content_sha, id) projection — map-side-combinable — and join the tiny
+    (sha -> rep) map back.  Only hashes in duplicated groups are joined
+    (dup maps are small relative to the corpus, so Catalyst/AQE broadcasts
+    them); unique rows take ``coalesce(rep, id)``.
     """
-    w = W.partitionBy("content_sha")
-    return signed.withColumn("exact_rep", F.min(id_col).over(w))
+    rep_map = (
+        signed.select("content_sha", F.col(id_col))
+        .groupBy("content_sha")
+        .agg(F.min(id_col).alias("exact_rep"), F.count("*").alias("_sha_n"))
+        .filter(F.col("_sha_n") > 1)
+        .drop("_sha_n")
+    )
+    return signed.join(rep_map, "content_sha", "left").withColumn(
+        "exact_rep", F.coalesce("exact_rep", F.col(id_col))
+    )
 
 
 def exact_edges(grouped: DataFrame, id_col: str = "conv_id") -> DataFrame:

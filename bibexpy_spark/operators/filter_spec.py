@@ -28,7 +28,7 @@ def _empty(col: F.Column) -> F.Column:
 
 
 def compile_range(col: str, lo=None, hi=None) -> F.Column:
-    c = F.col(col).cast("double")
+    c = F.col(col).try_cast("double")  # malformed -> NULL (filtered), not error
     cond = F.lit(True)
     if lo is not None:
         cond = cond & (c >= lo)

@@ -51,23 +51,34 @@ def run_dedup(
     conv = materialize("assemble", lambda: assembly.assemble_conversations(turns))
 
     def build_signed() -> DataFrame:
-        s = udfs.with_signature_columns(conv, cfg, text_col="doc")
+        # project away the heavy assembly payload (turns struct array) before
+        # the persisted hot path — Catalyst prunes lazily, but an explicit
+        # narrow projection keeps the cached/persisted stage table lean
+        slim = conv.select("conv_id", "doc", "roles", "tools")
+        s = udfs.with_signature_columns(slim, cfg, text_col="doc")
         if with_simhash_pass:
             s = simhash.with_simhash(s, cfg)
-        return s
+        return s.drop("doc")
 
     signed = materialize("sign", build_signed)
+    # fixed-width surrogate key for every shuffle-heavy internal stage:
+    # band explode, pair joins and CC move 8-byte longs instead of conv_id
+    # strings (at 10^12 rows a 64-bit surrogate has real collision mass —
+    # swap xxhash64 for a 128-bit hash pair there; the boundary contract
+    # stays conv_id strings either way)
+    signed = signed.withColumn("nid", F.xxhash64("conv_id"))
     if run is None:
         signed = signed.persist()
+    idmap = signed.select("conv_id", "nid")
 
     grouped = exact.exact_groups(signed)
     if run is None:
-        grouped = grouped.persist()  # window over content_sha: one shuffle, reused 3x
+        grouped = grouped.persist()
     exact_edge_df = materialize("exact_edges", lambda: exact.exact_edges(grouped))
     reps = exact.representatives(grouped)
 
     def build_candidates() -> DataFrame:
-        pairs, band_stats = lsh.candidate_pairs(reps, cfg)
+        pairs, band_stats = lsh.candidate_pairs(reps, cfg, id_col="nid")
         if run is not None:
             hot = band_stats.filter(F.col("star_mode")).count()
             total = band_stats.count()
@@ -76,18 +87,45 @@ def run_dedup(
 
     cand = materialize("candidates", build_candidates)
 
-    verified = materialize(
-        "verify", lambda: verify_op.verify_pairs(cand, reps, cfg)
+    verified_nid = materialize(
+        "verify", lambda: verify_op.verify_pairs(cand, reps, cfg, id_col="nid")
     )
-    dup_edges = verified.filter(F.col("is_dup")).select("a_id", "b_id")
+    dup_edges_nid = verified_nid.filter(F.col("is_dup")).select("a_id", "b_id")
 
-    all_edges = exact_edge_df.select("a_id", "b_id").unionByName(dup_edges)
-    clusters = materialize(
-        "cluster",
-        lambda: components.connected_components(
-            all_edges, signed.select("conv_id"), cfg
-        ),
+    exact_edges_nid = exact_edge_df.select(
+        F.xxhash64("a_id").alias("a_id"), F.xxhash64("b_id").alias("b_id")
     )
+    all_edges = exact_edges_nid.unionByName(dup_edges_nid)
+
+    def build_clusters() -> DataFrame:
+        cl_nid = components.connected_components(
+            all_edges, signed.select("nid"), cfg, id_col="nid"
+        )
+        # relabel surrogate components to the public contract:
+        # cluster_id = min conv_id of the component
+        lab = cl_nid.join(idmap, "nid")
+        cluster_min = lab.groupBy("cluster_id").agg(
+            F.min("conv_id").alias("cluster_conv")
+        )
+        return (
+            lab.join(cluster_min, "cluster_id")
+            .select("conv_id", F.col("cluster_conv").alias("cluster_id"))
+        )
+
+    clusters = materialize("cluster", build_clusters)
+
+    def _to_str_pairs(df: DataFrame) -> DataFrame:
+        a = idmap.select(F.col("nid").alias("a_id"), F.col("conv_id").alias("a_conv"))
+        b = idmap.select(F.col("nid").alias("b_id"), F.col("conv_id").alias("b_conv"))
+        out = df.join(a, "a_id").join(b, "b_id").drop("a_id", "b_id")
+        return out.select(
+            F.least("a_conv", "b_conv").alias("a_id"),
+            F.greatest("a_conv", "b_conv").alias("b_id"),
+            *[c for c in df.columns if c not in ("a_id", "b_id")],
+        )
+
+    verified = _to_str_pairs(verified_nid)
+    dup_edges = _to_str_pairs(dup_edges_nid)
 
     out: dict[str, Any] = {
         "conversations": conv,
