@@ -73,6 +73,7 @@ def connected_components(
     ``cluster_id`` is the minimum node id of the component; isolated nodes
     map to themselves (same convention as the oracle's transitive closure).
     """
+    spark = edges.sparkSession
     e = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).filter(
         F.col("src") != F.col("dst")
     ).distinct()
@@ -80,15 +81,25 @@ def connected_components(
     # whole upstream pipeline (LSH + verify) every round
     e = e.localCheckpoint(eager=True)
 
-    prev = None
-    for _ in range(cfg.cc_max_iter):
-        # checkpoint each round: truncates lineage AND makes the convergence
-        # checksum a scan of materialized data, not a recompute
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _checksum(e)
-        if cur == prev:
-            break
-        prev = cur
+    # Catalyst's constraint inference (PruneFilters) hits an internal
+    # AttributeMap error on the self-union/self-join star plans (SPARK
+    # optimizer bug); constraints buy nothing on these tiny checkpointed
+    # frames, so disable propagation for the loop and restore after.
+    prop_key = "spark.sql.constraintPropagation.enabled"
+    prev_prop = spark.conf.get(prop_key, "true")
+    spark.conf.set(prop_key, "false")
+    try:
+        prev = None
+        for _ in range(cfg.cc_max_iter):
+            # checkpoint each round: truncates lineage AND makes the
+            # convergence checksum a scan of materialized data
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            cur = _checksum(e)
+            if cur == prev:
+                break
+            prev = cur
+    finally:
+        spark.conf.set(prop_key, prev_prop)
 
     # after convergence every edge points child -> component min
     assign = e.select(
