@@ -1,0 +1,268 @@
+"""Smart Merge: WoS x Scopus record deduplication + field merge, Spark-first.
+
+Re-expresses the reference's merge core (apps/api/services/smart_merger.py,
+``run_smart_merge`` :576-827) as a declarative DataFrame pipeline:
+
+  normalize   8 shadow columns per side (:612-620) -> native exprs + UDFs
+  block       key = (norm_year, surname initial) (:185-198)
+  negative    both DOIs present & different -> pair rejected (:205-240)
+  stages      1 DOI exact (conf 1.0, :253-265)
+              2 PMID/UT exact (conf 0.98, :267-279)
+              3 title JW>=0.92 & |Δyear|<=1 & same surname (conf 0.95, :281-307)
+              4 journal JW>=0.90 & vol & page (conf 0.90, :309-334)
+              5 borderline band 0.80<=JW<0.92 -> review queue (:336-348)
+  assign      greedy confidence-desc 1:1 (:654-711) -> replaced by the
+              order-independent SYMMETRIC BEST MATCH (a pair survives iff it
+              is the top-ranked candidate of BOTH endpoints; rank =
+              (-confidence, partner id) via two row_number windows) — the
+              reference's greedy loop is sequential by construction and
+              cannot scale; symmetric-best is its deterministic fixpoint for
+              non-conflicting data
+  merge       per-field preference table (Caputo 2024 fixed table, :40-57)
+              via coalesce/union exprs (:388-458) + conflict log (:717-736)
+  assemble    merged ∪ lost-WoS ∪ lost-Scopus (:738-753)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from bibexpy_spark.functions import bibex_norms as bn
+
+#: per-field merge preference (semantic parity smart_merger.py:40-57):
+#: wos | scopus | union | longer
+FIELD_PREFERENCES = {
+    "TI": "wos", "AB": "longer", "PY": "wos", "SO": "wos", "DT": "wos",
+    "LA": "wos", "DI": "wos", "SN": "wos", "VL": "wos", "IS": "wos",
+    "BP": "wos", "EP": "wos", "TC": "scopus", "C1": "scopus", "CR": "scopus",
+    "DE": "union", "ID": "union", "AU": "wos", "UT": "wos", "PM": "scopus",
+}
+
+BORDERLINE_LOW, STAGE3_T, STAGE4_T = 0.80, 0.92, 0.90
+
+
+def with_norm_columns(df: DataFrame) -> DataFrame:
+    """The 8 normalized shadow columns (parity smart_merger.py:612-620)."""
+    out = df
+    if "DI" in df.columns:
+        out = out.withColumn("_norm_doi", bn.normalize_doi(F.col("DI")))
+    if "PY" in df.columns:
+        out = out.withColumn("_norm_year", bn.normalize_year(F.col("PY")))
+    if "TI" in df.columns:
+        out = out.withColumn("_norm_title", bn.normalize_title_udf(F.col("TI")))
+    if "AU" in df.columns:
+        out = out.withColumn("_norm_surname", bn.normalize_surname_udf(F.col("AU")))
+    if "SO" in df.columns:
+        out = out.withColumn("_norm_journal", bn.normalize_name_udf(F.col("SO")))
+    if "SN" in df.columns:
+        out = out.withColumn("_norm_issn", bn.normalize_issn(F.col("SN")))
+    for tag, name in (("PM", "_norm_pmid"), ("UT", "_norm_ut")):
+        if tag in df.columns:
+            out = out.withColumn(name, bn.normalize_id_token(F.col(tag)))
+    if "VL" in df.columns:
+        out = out.withColumn("_norm_vol", bn.normalize_id_token(F.col("VL")))
+    if "BP" in df.columns:
+        out = out.withColumn("_norm_page", bn.normalize_id_token(F.col("BP")))
+    return out
+
+
+def _block_key():
+    """(norm_year, surname initial) blocking key (smart_merger.py:185-198)."""
+    return F.concat_ws(
+        "|",
+        F.coalesce(F.col("_norm_year").cast("string"), F.lit("?")),
+        F.coalesce(F.substring("_norm_surname", 1, 1), F.lit("?")),
+    )
+
+
+def candidate_pairs(wos: DataFrame, scp: DataFrame) -> DataFrame:
+    """Blocked candidate join with prefixed columns (w_*, s_*)."""
+    wkeyed = wos.select(
+        F.col("_row_id").alias("w_id"),
+        _block_key().alias("block_key"),
+        *[F.col(c).alias(f"w{c}") for c in wos.columns if c != "_row_id"],
+    )
+    skeyed = scp.select(
+        F.col("_row_id").alias("s_id"),
+        _block_key().alias("block_key"),
+        *[F.col(c).alias(f"s{c}") for c in scp.columns if c != "_row_id"],
+    )
+    return wkeyed.join(skeyed, "block_key")
+
+
+def score_pairs(pairs: DataFrame) -> DataFrame:
+    """Staged match predicates -> (stage, confidence, is_borderline).
+
+    Negative rule first; exact-id stages before fuzzy stages (the manual
+    predicate ordering the reference relies on, smart_merger.py:243-350 —
+    kept explicit because the JW UDF is opaque to Catalyst).
+    """
+    p = pairs.filter(
+        ~(
+            F.col("w_norm_doi").isNotNull()
+            & F.col("s_norm_doi").isNotNull()
+            & (F.col("w_norm_doi") != F.col("s_norm_doi"))
+        )
+    )
+    title_jw = bn.jaro_winkler_udf(F.col("w_norm_title"), F.col("s_norm_title"))
+    journal_jw = bn.jaro_winkler_udf(F.col("w_norm_journal"), F.col("s_norm_journal"))
+    year_close = (
+        F.col("w_norm_year").isNotNull()
+        & F.col("s_norm_year").isNotNull()
+        & (F.abs(F.col("w_norm_year") - F.col("s_norm_year")) <= 1)
+    )
+    same_surname = (
+        F.col("w_norm_surname").isNotNull()
+        & (F.col("w_norm_surname") == F.col("s_norm_surname"))
+    )
+    stage1 = (
+        F.col("w_norm_doi").isNotNull() & (F.col("w_norm_doi") == F.col("s_norm_doi"))
+    )
+    stage2 = (
+        F.col("w_norm_pmid").isNotNull() & (F.col("w_norm_pmid") == F.col("s_norm_pmid"))
+    ) if "w_norm_pmid" in p.columns and "s_norm_pmid" in p.columns else F.lit(False)
+
+    p = p.withColumn("_title_jw", title_jw)
+    stage3 = (F.col("_title_jw") >= STAGE3_T) & year_close & same_surname
+    p = p.withColumn(
+        "_journal_jw",
+        F.when(stage1 | stage2 | stage3, F.lit(0.0)).otherwise(journal_jw),
+    )
+    stage4 = (
+        (F.col("_journal_jw") >= STAGE4_T)
+        & (F.col("w_norm_vol") == F.col("s_norm_vol"))
+        & (F.col("w_norm_page") == F.col("s_norm_page"))
+        & (F.col("_title_jw") >= BORDERLINE_LOW)
+    )
+    borderline = (
+        (F.col("_title_jw") >= BORDERLINE_LOW)
+        & (F.col("_title_jw") < STAGE3_T)
+        & year_close
+    )
+    # linear confidence scale for borderline band (smart_merger.py:337-339)
+    border_conf = 0.70 + (F.col("_title_jw") - BORDERLINE_LOW) * (0.85 - 0.70) / (
+        STAGE3_T - BORDERLINE_LOW
+    )
+    scored = p.withColumn(
+        "stage",
+        F.when(stage1, 1).when(stage2, 2).when(stage3, 3).when(stage4, 4)
+        .when(borderline, 5),
+    ).withColumn(
+        "confidence",
+        F.when(stage1, 1.0).when(stage2, 0.98).when(stage3, 0.95).when(stage4, 0.90)
+        .when(borderline, border_conf),
+    )
+    return scored.filter(F.col("stage").isNotNull()).withColumn(
+        "is_borderline", F.col("stage") == 5
+    )
+
+
+def assign_one_to_one(scored: DataFrame) -> DataFrame:
+    """Symmetric best match: keep a pair iff it is rank 1 for both its WoS
+    row and its Scopus row (rank by confidence desc, partner id asc)."""
+    matches = scored.filter(~F.col("is_borderline"))
+    w_rank = W.partitionBy("w_id").orderBy(F.desc("confidence"), F.asc("s_id"))
+    s_rank = W.partitionBy("s_id").orderBy(F.desc("confidence"), F.asc("w_id"))
+    return (
+        matches.withColumn("_rw", F.row_number().over(w_rank))
+        .withColumn("_rs", F.row_number().over(s_rank))
+        .filter((F.col("_rw") == 1) & (F.col("_rs") == 1))
+        .drop("_rw", "_rs")
+    )
+
+
+def merge_matched(assigned: DataFrame, fields: list[str]) -> DataFrame:
+    """Per-field preference merge + conflict struct array
+    (smart_merger.py:388-458, conflict log :717-736)."""
+    cols = [F.col("w_id"), F.col("s_id"), F.col("stage"), F.col("confidence")]
+    conflicts = []
+    for f in fields:
+        wcol, scol = F.col(f"w{f}"), F.col(f"s{f}")
+        pref = FIELD_PREFERENCES.get(f, "wos")
+        w_empty = wcol.isNull() | (F.trim(wcol.cast("string")) == "") | (
+            F.upper(wcol.cast("string")) == "NAN"
+        )
+        s_empty = scol.isNull() | (F.trim(scol.cast("string")) == "") | (
+            F.upper(scol.cast("string")) == "NAN"
+        )
+        w_val = F.when(~w_empty, wcol.cast("string"))
+        s_val = F.when(~s_empty, scol.cast("string"))
+        if pref == "scopus":
+            merged = F.coalesce(s_val, w_val)
+        elif pref == "union":
+            merged = F.array_join(
+                F.array_distinct(
+                    F.concat(
+                        bn.split_multivalue(F.coalesce(w_val, F.lit(""))),
+                        bn.split_multivalue(F.coalesce(s_val, F.lit(""))),
+                    )
+                ),
+                "; ",
+            )
+            merged = F.when(merged != "", merged)
+        elif pref == "longer":
+            merged = F.when(
+                F.length(F.coalesce(w_val, F.lit(""))) >= F.length(F.coalesce(s_val, F.lit(""))),
+                w_val,
+            ).otherwise(s_val)
+            merged = F.coalesce(merged, s_val, w_val)
+        else:  # wos-first
+            merged = F.coalesce(w_val, s_val)
+        cols.append(merged.alias(f))
+        conflicts.append(
+            F.when(
+                ~w_empty & ~s_empty & (wcol.cast("string") != scol.cast("string")),
+                F.struct(
+                    F.lit(f).alias("field"),
+                    wcol.cast("string").alias("wos_value"),
+                    scol.cast("string").alias("scopus_value"),
+                ),
+            )
+        )
+    cols.append(F.array_compact(F.array(*conflicts)).alias("_conflicts"))
+    return assigned.select(*cols)
+
+
+def run_smart_merge(wos: DataFrame, scp: DataFrame) -> dict[str, DataFrame]:
+    """Full merge: returns merged / lost_wos / lost_scopus / borderline /
+    conflict_log / match_audit DataFrames (the analysis-folder artifact set,
+    smart_merger.py:761-779)."""
+    wos = with_norm_columns(wos).withColumn(
+        "_row_id", F.concat(F.lit("w"), F.xxhash64(*[F.col(c) for c in wos.columns]).cast("string"))
+    )
+    scp = with_norm_columns(scp).withColumn(
+        "_row_id", F.concat(F.lit("s"), F.xxhash64(*[F.col(c) for c in scp.columns]).cast("string"))
+    )
+    shared_fields = sorted(
+        (set(wos.columns) & set(scp.columns))
+        - {c for c in wos.columns if c.startswith("_")}
+    )
+    pairs = candidate_pairs(wos, scp)
+    scored = score_pairs(pairs).persist()
+    assigned = assign_one_to_one(scored).persist()
+
+    merged = merge_matched(assigned, shared_fields)
+    matched_w = assigned.select(F.col("w_id").alias("_row_id"))
+    matched_s = assigned.select(F.col("s_id").alias("_row_id"))
+    lost_wos = wos.join(matched_w, "_row_id", "left_anti")
+    lost_scp = scp.join(matched_s, "_row_id", "left_anti")
+
+    borderline = scored.filter(F.col("is_borderline")).select(
+        "w_id", "s_id", "confidence", "_title_jw",
+        *[c for c in ("wTI", "sTI", "wDI", "sDI") if c in scored.columns],
+    )
+    conflict_log = merged.select(
+        "w_id", "s_id", F.explode("_conflicts").alias("c")
+    ).select("w_id", "s_id", "c.field", "c.wos_value", "c.scopus_value")
+    match_audit = assigned.select("w_id", "s_id", "stage", "confidence")
+
+    return {
+        "merged": merged.drop("_conflicts"),
+        "lost_wos": lost_wos,
+        "lost_scopus": lost_scp,
+        "borderline": borderline,
+        "conflict_log": conflict_log,
+        "match_audit": match_audit,
+    }
