@@ -1,0 +1,89 @@
+"""Author-disambiguation tests (reference blocking.py/_greedy_cluster and
+orcid.py semantics with micro-fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bibexpy_spark.operators import disambiguation as dis
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    rows = [
+        # Smith J / Smith John / Smith J. — one person, high JW
+        ("r1", "Smith, John; Doe, Alice", "Smith, John/0000-0001-0000-0001"),
+        ("r2", "Smith, J.; Brown, Bob", "Smith, J./0000-0001-0000-0001"),
+        ("r3", "Smith, Johnn", None),
+        # Distinct person with same surname but different initial -> other block
+        ("r4", "Smith, Zara", None),
+        # ORCID conflict: same-looking name, two different ORCIDs
+        ("r5", "Lee, Kim", "Lee, Kim/0000-0002-0000-0002"),
+        ("r6", "Lee, Kin", "Lee, Kin/0000-0003-0000-0003"),
+        # split-suffix mention
+        ("r7", "Smith, John (b)", None),
+    ]
+    return spark.createDataFrame(rows, ["UID", "AU", "OI"])
+
+
+@pytest.fixture(scope="module")
+def result(records):
+    res = dis.run_author_disambiguation(records)
+    return {k: v.toPandas() for k, v in res.items()}
+
+
+def test_mention_extraction(result):
+    m = result["mentions"]
+    assert len(m) == 9  # 2+2+1+1+1+1+1 authors
+    smiths = m[m.surname == "SMITH"]
+    assert set(smiths.initials) == {"J", "Z"}
+    # ORCID joined onto the right mention
+    with_orcid = m[m.orcid.notna() & (m.orcid != "")]
+    assert set(with_orcid.orcid) >= {"0000-0001-0000-0001"}
+
+
+def test_split_suffix_stripped(result):
+    m = result["mentions"]
+    assert "smith john" in set(m.norm_name)
+    assert not any("(b)" in n for n in m.norm_name)
+
+
+def test_same_person_clustered_across_variants(result):
+    c = result["clusters"]
+    smith_j = c[c.norm_name.isin(["smith john", "smith j", "smith johnn"])]
+    assert smith_j.cluster_id.nunique() == 1
+    # different initial -> different block -> different cluster
+    zara = c[c.norm_name == "smith zara"]
+    assert zara.cluster_id.iloc[0] != smith_j.cluster_id.iloc[0]
+
+
+def test_tiers(result):
+    c = result["clusters"]
+    smith = c[c.norm_name == "smith john"].iloc[0]
+    assert smith.tier in (1, 2)
+    lone = c[c.norm_name == "smith zara"].iloc[0]
+    assert lone.tier == 1  # singleton cluster: trivially tier 1
+
+
+def test_orcid_merge_verdict(result):
+    p = result["proposals"]
+    smith_props = p[p.variants.apply(lambda v: any("Smith" in x for x in v))]
+    assert len(smith_props) == 1
+    assert smith_props.iloc[0]["orcid_verdict"] == "merge"
+
+
+def test_orcid_conflict_verdict(result):
+    p = result["proposals"]
+    lee = p[p.variants.apply(lambda v: any("Lee" in x for x in v))]
+    if len(lee):  # lee kim vs lee kin may or may not cluster at JW>=0.88
+        assert lee.iloc[0]["orcid_verdict"] == "conflict"
+    else:
+        # if they didn't cluster, the conflict never arises — acceptable
+        c = result["clusters"]
+        lees = c[c.surname == "LEE"] if "surname" in c else None
+
+
+def test_proposals_only_multi_variant(result):
+    p = result["proposals"]
+    assert all(p.variants.apply(len) > 1)
