@@ -43,7 +43,10 @@ _BRACKET_RE = re.compile(r"^\s*\[(?P<authors>[^\]]*)\]\s*(?P<rest>.*)$", re.S)
 
 def canonical_country(raw: str) -> str:
     s = re.sub(r"\s+", " ", str(raw or "")).strip().strip(".").upper()
-    return COUNTRY_VARIANTS.get(s, s)
+    if s in COUNTRY_VARIANTS:
+        return COUNTRY_VARIANTS[s]
+    # dotted abbreviations: 'U.S.A' -> 'USA'
+    return COUNTRY_VARIANTS.get(s.replace(".", ""), s)
 
 
 def split_c1(cell: str) -> list[str]:
