@@ -8,18 +8,20 @@ non-SQL-expressible ops: MinHash/LSH, SimHash, canonical NFKD pipeline).
 
 from __future__ import annotations
 
-from bibexpy_spark.entry_queries import relational, training, transcripts
+from bibexpy_spark.entry_queries import extended, relational, training, transcripts
+
+_MODULES = (transcripts, relational, training, extended)
 
 
 def all_queries():
     q = {}
-    for mod in (transcripts, relational, training):
+    for mod in _MODULES:
         q.update(mod.QUERIES)
     return q
 
 
 def all_oracles():
     o = {}
-    for mod in (transcripts, relational, training):
+    for mod in _MODULES:
         o.update(mod.ORACLES)
     return o

@@ -99,13 +99,14 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
     predicate ordering the reference relies on, smart_merger.py:243-350 —
     kept explicit because the JW UDF is opaque to Catalyst).
     """
+    have_doi = "w_norm_doi" in pairs.columns and "s_norm_doi" in pairs.columns
     p = pairs.filter(
         ~(
             F.col("w_norm_doi").isNotNull()
             & F.col("s_norm_doi").isNotNull()
             & (F.col("w_norm_doi") != F.col("s_norm_doi"))
         )
-    )
+    ) if have_doi else pairs
     title_jw = bn.jaro_winkler_udf(F.col("w_norm_title"), F.col("s_norm_title"))
     journal_jw = bn.jaro_winkler_udf(F.col("w_norm_journal"), F.col("s_norm_journal"))
     year_close = (
@@ -119,21 +120,32 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
     )
     stage1 = (
         F.col("w_norm_doi").isNotNull() & (F.col("w_norm_doi") == F.col("s_norm_doi"))
-    )
+    ) if have_doi else F.lit(False)
     stage2 = (
         F.col("w_norm_pmid").isNotNull() & (F.col("w_norm_pmid") == F.col("s_norm_pmid"))
     ) if "w_norm_pmid" in p.columns and "s_norm_pmid" in p.columns else F.lit(False)
 
     p = p.withColumn("_title_jw", title_jw)
     stage3 = (F.col("_title_jw") >= STAGE3_T) & year_close & same_surname
+
+    have_journal = "w_norm_journal" in p.columns and "s_norm_journal" in p.columns
     p = p.withColumn(
         "_journal_jw",
-        F.when(stage1 | stage2 | stage3, F.lit(0.0)).otherwise(journal_jw),
+        F.when(stage1 | stage2 | stage3, F.lit(0.0)).otherwise(journal_jw)
+        if have_journal
+        else F.lit(0.0),
     )
+
+    def _eq_if_present(name: str):
+        wcol, scol = f"w_norm_{name}", f"s_norm_{name}"
+        if wcol in p.columns and scol in p.columns:
+            return F.col(wcol).isNotNull() & (F.col(wcol) == F.col(scol))
+        return F.lit(False)
+
     stage4 = (
         (F.col("_journal_jw") >= STAGE4_T)
-        & (F.col("w_norm_vol") == F.col("s_norm_vol"))
-        & (F.col("w_norm_page") == F.col("s_norm_page"))
+        & _eq_if_present("vol")
+        & _eq_if_present("page")
         & (F.col("_title_jw") >= BORDERLINE_LOW)
     )
     borderline = (

@@ -91,14 +91,26 @@ def write_sample_scopus(dirpath: str, seed: int = 11) -> list[str]:
             hdr.append(extra_col)
         data = [hdr]
         for i in range(n):
-            r = [
-                f"Writer{offset + i} W.",
-                " ".join(rng.choice(words, size=4)),
-                str(1995 + int(rng.integers(0, 25))),
-                f"Journal of {words[(offset + i) % len(words)]}",
-                f"10.{2000 + offset + i}/scp.{offset + i}",
-                str(int(rng.integers(0, 50))),
-            ]
+            if offset == 0 and i < 5:
+                # overlap with the WoS sample (same DOI, Scopus-styled
+                # fields) so the cross-database Smart Merge finds matches
+                r = [
+                    f"Author{i}, A.",
+                    f"wos-shared record {i}",
+                    str(1990 + (i % 30)),  # same year as the WoS sample doc i
+                    f"Journal of {words[i % len(words)]}",
+                    f"10.{1000 + i}/synthetic.{i}",
+                    str(int(rng.integers(0, 50))),
+                ]
+            else:
+                r = [
+                    f"Writer{offset + i} W.",
+                    " ".join(rng.choice(words, size=4)),
+                    str(1995 + int(rng.integers(0, 25))),
+                    f"Journal of {words[(offset + i) % len(words)]}",
+                    f"10.{2000 + offset + i}/scp.{offset + i}",
+                    str(int(rng.integers(0, 50))),
+                ]
             if extra_col:
                 r.append("x")
             data.append(r)

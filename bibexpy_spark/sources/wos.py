@@ -124,7 +124,7 @@ def write_sample_wos(path: str, n_docs: int = 25, seed: int = 7) -> str:
             "TI " + " ".join(title_words[:3]),
             "   " + " ".join(title_words[3:]),
             f"SO JOURNAL OF {words[i % len(words)].upper()}",
-            f"PY {1990 + int(rng.integers(0, 30))}",
+            f"PY {1990 + (i % 30)}",
             f"DI 10.{1000 + i}/synthetic.{i}",
             f"TC {int(rng.integers(0, 100))}",
             "C1 [Author{0}, A.] Univ Example, Dept Data, City, Country.".format(i),

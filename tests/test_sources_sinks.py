@@ -50,7 +50,7 @@ def test_scopus_multi_csv_union_and_rename(spark, tmp_path_factory):
         assert tag in df.columns
     assert df.count() == 20  # 12 + 8
     # uppercase applied except DI
-    row = df.orderBy("DI").first()
+    row = df.orderBy(F.desc("DI")).first()
     assert row["SO"] == row["SO"].upper()
     assert "scp" in row["DI"]
 
