@@ -67,11 +67,20 @@ def connected_components(
     nodes: DataFrame,
     cfg: DedupConfig = CANONICAL,
     id_col: str = "conv_id",
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges(a_id, b_id) + nodes(id) -> (id_col, cluster_id).
 
     ``cluster_id`` is the minimum node id of the component; isolated nodes
     map to themselves (same convention as the oracle's transitive closure).
+
+    Hybrid execution: the large-star/small-star loop is the scale path, but
+    each round is several latency-bound jobs; when the (already heavily
+    contracted) edge list is small — under ``driver_threshold`` pairs — the
+    closure finishes with a driver-side union-find, the standard
+    small-remainder shortcut.  Semantics are identical (same min-label
+    closure); the chosen mode is observable via the plan (driver mode plans
+    from a createDataFrame).
     """
     spark = edges.sparkSession
     e = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).filter(
@@ -80,6 +89,10 @@ def connected_components(
     # materialize the edge list once: the iteration must not re-derive the
     # whole upstream pipeline (LSH + verify) every round
     e = e.localCheckpoint(eager=True)
+
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        return _driver_components(spark, e, nodes, id_col)
 
     # Catalyst's constraint inference (PruneFilters) hits an internal
     # AttributeMap error on the self-union/self-join star plans (SPARK
@@ -101,6 +114,44 @@ def connected_components(
     finally:
         spark.conf.set(prop_key, prev_prop)
 
+    return _finalize(e, nodes, id_col)
+
+
+def _driver_components(spark, e: DataFrame, nodes: DataFrame, id_col: str) -> DataFrame:
+    """Union-find on the collected (small) edge list; assignment is joined
+    back distributed, so only O(|E|) ids ever touch the driver."""
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    assign_rows = [(k, find(k)) for k in parent]
+    id_type = dict(nodes.dtypes)[id_col]
+    if not assign_rows:
+        return nodes.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    assign = spark.createDataFrame(
+        assign_rows, schema=f"{id_col} {id_type}, cluster_id {id_type}"
+    )
+    return (
+        nodes.select(F.col(id_col))
+        .join(assign, id_col, "left")
+        .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
+    )
+
+
+def _finalize(e: DataFrame, nodes: DataFrame, id_col: str) -> DataFrame:
     # after convergence every edge points child -> component min
     assign = e.select(
         F.greatest("src", "dst").alias(id_col), F.least("src", "dst").alias("cluster_id")
