@@ -61,25 +61,19 @@ def for_config(cfg: DedupConfig):
     }
 
 
-def with_signature_columns(df, cfg: DedupConfig, text_col: str = "doc",
-                           parallelism: int | None = None):
+def with_signature_columns(df, cfg: DedupConfig, text_col: str = "doc"):
     """doc -> norm_text, content_sha256 (native), shingles, band_hashes.
 
     The strong content hash is computed JVM-side with ``sha2`` (the exact
     short-circuit analogous to the reference's Stage-1 DOI equality,
     smart_merger.py:253-265); only shingling/MinHash go through Arrow.
-
-    The input is repartitioned to the session's default parallelism first:
-    signature computation is the CPU-heaviest stage and AQE's partition
-    coalescing would otherwise shrink it to a few size-based partitions
-    (fine for shuffles, fatal for CPU-bound UDF parallelism).
+    The UDF stage inherits the upstream shuffle's partitioning — the session
+    sizes ``spark.sql.shuffle.partitions`` to the core count and disables
+    AQE partition coalescing, so no extra repartition pass is needed.
     """
     u = for_config(cfg)
-    spark = df.sparkSession
-    parallelism = parallelism or spark.sparkContext.defaultParallelism
     return (
-        df.repartition(parallelism)
-        .withColumn("norm_text", u["normalize"](F.col(text_col)))
+        df.withColumn("norm_text", u["normalize"](F.col(text_col)))
         .withColumn("content_sha", F.sha2(F.col("norm_text"), 256))
         .withColumn("shingles", u["shingles"](F.col("norm_text")))
         .withColumn("band_hashes", u["bands"](F.col("shingles")))

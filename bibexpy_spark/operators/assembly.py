@@ -52,6 +52,35 @@ def assemble_conversations(turns: DataFrame) -> DataFrame:
     )
 
 
+def assemble_docs(turns: DataFrame, include_roles_tools: bool = False) -> DataFrame:
+    """Lean assembly for the dedup hot path: aggregates only (turn_idx,
+    text[, role, tool]) instead of the full turn structs — the map-side
+    partial aggregates and the shuffle carry exactly what downstream needs.
+    Ordering guarantee identical to :func:`assemble_conversations`.
+    """
+    fields = ["turn_idx", "text"] + (["role", "tool"] if include_roles_tools else [])
+    agg = turns.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(F.struct(*fields))).alias("_t")
+    )
+    out = agg.withColumn(
+        "doc", F.array_join(F.transform("_t", lambda t: t["text"]), TURN_SEP)
+    )
+    if include_roles_tools:
+        out = out.withColumn(
+            "roles", F.array_join(F.transform("_t", lambda t: t["role"]), " ")
+        ).withColumn(
+            "tools",
+            F.array_join(
+                F.filter(
+                    F.transform("_t", lambda t: t["tool"]),
+                    lambda x: (x.isNotNull()) & (x != ""),
+                ),
+                " ",
+            ),
+        )
+    return out.drop("_t")
+
+
 def explode_back(conversations: DataFrame) -> DataFrame:
     """Inverse of assembly for the invariant test: conversation rows ->
     (conv_id, turn_idx, role, text, tool, ts) turn rows."""

@@ -48,14 +48,16 @@ def run_dedup(
         # cache stages reused by multiple downstream consumers
         return df
 
-    conv = materialize("assemble", lambda: assembly.assemble_conversations(turns))
+    # lean assembly: the hot path aggregates only the fields it consumes
+    # (full turn structs are available via assembly.assemble_conversations
+    # for the invariant/explode-back surface)
+    conv = materialize(
+        "assemble",
+        lambda: assembly.assemble_docs(turns, include_roles_tools=with_simhash_pass),
+    )
 
     def build_signed() -> DataFrame:
-        # project away the heavy assembly payload (turns struct array) before
-        # the persisted hot path — Catalyst prunes lazily, but an explicit
-        # narrow projection keeps the cached/persisted stage table lean
-        slim = conv.select("conv_id", "doc", "roles", "tools")
-        s = udfs.with_signature_columns(slim, cfg, text_col="doc")
+        s = udfs.with_signature_columns(conv, cfg, text_col="doc")
         if with_simhash_pass:
             s = simhash.with_simhash(s, cfg)
         return s.drop("doc")
