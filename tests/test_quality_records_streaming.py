@@ -89,11 +89,13 @@ def test_streaming_foreach_batch_dedup(spark, turns_pd, tmp_path):
     os.makedirs(src, exist_ok=True)
     sub = turns_pd[turns_pd.conv_id.str.contains("_base|_exact")]
     spark.createDataFrame(sub).write.mode("overwrite").parquet(src)
-    spark.sql("DROP TABLE IF EXISTS stream_dedup_out")
-    q = ingest.foreach_batch_exact_dedup(spark, src, "stream_dedup_out")
+    import uuid
+
+    table = f"stream_dedup_out_{uuid.uuid4().hex[:8]}"
+    q = ingest.foreach_batch_exact_dedup(spark, src, table)
     q.awaitTermination(120)
     dup_groups = (
-        spark.table("stream_dedup_out")
+        spark.table(table)
         .groupBy("content_sha")
         .count()
         .filter(F.col("count") > 1)
