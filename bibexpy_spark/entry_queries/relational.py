@@ -255,7 +255,33 @@ def q_set_ops(spark, sf_dir):
     )
 
 
+def q_health_score(spark, sf_dir):
+    """Weighted data-health score over documents (quality.py:59-106
+    semantics; weights: text 3, lang 2, source 1)."""
+    d = _t(spark, sf_dir, "documents")
+
+    def filled(c):
+        s = F.col(c).cast("string")
+        return F.sum(
+            (s.isNotNull() & (F.trim(s) != "") & (F.upper(F.trim(s)) != "NAN")).cast("int")
+        )
+
+    agg = d.agg(
+        F.count("*").alias("total"),
+        filled("text").alias("f_text"),
+        filled("lang").alias("f_lang"),
+        filled("source").alias("f_source"),
+    )
+    score = (
+        3 * F.col("f_text") / F.col("total")
+        + 2 * F.col("f_lang") / F.col("total")
+        + 1 * F.col("f_source") / F.col("total")
+    ) / F.lit(6.0)
+    return agg.select("total", F.round(score, 6).alias("health_score"))
+
+
 QUERIES = {
+    "q_health_score": q_health_score,
     "q_range_filter": q_range_filter,
     "q_set_membership": q_set_membership,
     "q_contains_any": q_contains_any,
@@ -278,6 +304,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_health_score": """
+      WITH agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN text IS NOT NULL AND trim(CAST(text AS VARCHAR)) <> ''
+                        AND upper(trim(CAST(text AS VARCHAR))) <> 'NAN' THEN 1 ELSE 0 END) AS BIGINT) AS f_text,
+               CAST(sum(CASE WHEN lang IS NOT NULL AND trim(CAST(lang AS VARCHAR)) <> ''
+                        AND upper(trim(CAST(lang AS VARCHAR))) <> 'NAN' THEN 1 ELSE 0 END) AS BIGINT) AS f_lang,
+               CAST(sum(CASE WHEN source IS NOT NULL AND trim(CAST(source AS VARCHAR)) <> ''
+                        AND upper(trim(CAST(source AS VARCHAR))) <> 'NAN' THEN 1 ELSE 0 END) AS BIGINT) AS f_source
+        FROM documents
+      )
+      SELECT total,
+             ROUND((3.0 * f_text / total + 2.0 * f_lang / total
+                    + 1.0 * f_source / total) / 6.0, 6) AS health_score
+      FROM agg
+    """,
     "q_range_filter": """
       SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
       FROM orders
