@@ -256,7 +256,38 @@ def e_lsh_ann(spark, sf_dir, k: int = 5, n_queries: int = 10, n_planes: int = 8)
     )
 
 
+def e_cosine_dup_pairs(spark, sf_dir, threshold: float = 0.4):
+    """Embedding-cosine near-duplicate pairs: all pairs with rounded cosine
+    >= threshold.  Brute force at test scale; the LSH-bucketed variant
+    (e_lsh_ann) is the scale path."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    j = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    j = j.withColumn(
+        "cos",
+        F.round(
+            dot(F.col("a_emb"), F.col("b_emb"))
+            / (
+                F.sqrt(dot(F.col("a_emb"), F.col("a_emb")))
+                * F.sqrt(dot(F.col("b_emb"), F.col("b_emb")))
+            ),
+            4,
+        ),
+    )
+    return j.filter(F.col("cos") >= threshold).select("a_id", "b_id", "cos")
+
+
 QUERIES = {
+    "e_cosine_dup_pairs": e_cosine_dup_pairs,
     "d_exact_dedup": d_exact_dedup,
     "d_ngram_jaccard_pairs": d_ngram_jaccard_pairs,
     "d_minhash_lsh_pairs": d_minhash_lsh_pairs,
@@ -279,6 +310,17 @@ def _hits_sql(words) -> str:
 
 
 ORACLES = {
+    "e_cosine_dup_pairs": """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.emb, b.emb)
+                  / (sqrt(list_dot_product(a.emb, a.emb))
+                     * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.4
+    """,
     "d_exact_dedup": f"""
       SELECT sha256({_NORM_SQL}) AS content_sha,
              CAST(count(*) AS BIGINT) AS n_members,
