@@ -162,5 +162,14 @@ def export(df: DataFrame, path: str, fmt: str) -> None:
         write_ris(df, path)
     elif fmt == "bibtex":
         write_bibtex(df, path)
+    elif fmt == "xlsx":
+        # XLSX needs openpyxl (not shipped in this environment); gate cleanly
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "xlsx export requires openpyxl; use csv/tsv/parquet here"
+            ) from exc
+        df.toPandas().to_excel(path, index=False)
     else:
         raise ValueError(f"unknown export format: {fmt}")
