@@ -46,22 +46,28 @@ def _with_sql_norm(conv: DataFrame) -> DataFrame:
     )
 
 
+_GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _sql_gram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with exact word-5-gram Jaccard >= 0.8.
 
     Two-phase lossless plan (operators/ngram.py): rare-gram inverted-index
     candidates + JVM array_intersect verification — equals the all-pairs SQL
     oracle while surviving hot-gram skew at scale.  The probabilistic LSH
-    variant is ``t_minhash_dup_pairs`` below.
+    variant is ``t_minhash_dup_pairs`` below.  Cached per (session, sf_dir):
+    three registry queries consume these pairs.
     """
     from bibexpy_spark.operators import ngram
 
-    out = ngram.gram_jaccard_pairs(
-        conv_df(spark, sf_dir), "conv_id", "doc", K, t_num=4, t_den=5
-    )
-    return out.select(
-        F.col("a_id"), F.col("b_id"), "inter", "union_n", "jaccard"
-    )
+    key = (sf_dir, spark.sparkContext.applicationId)
+    if key not in _GRAM_CACHE:
+        _GRAM_CACHE.clear()
+        out = ngram.gram_jaccard_pairs(
+            conv_df(spark, sf_dir), "conv_id", "doc", K, t_num=4, t_den=5
+        ).select(F.col("a_id"), F.col("b_id"), "inter", "union_n", "jaccard")
+        _GRAM_CACHE[key] = out.persist()
+    return _GRAM_CACHE[key]
 
 
 # ---------------------------------------------------------------------------

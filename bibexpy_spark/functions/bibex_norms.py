@@ -182,6 +182,45 @@ def name_initials_udf(names: pd.Series) -> pd.DataFrame:
     )
 
 
+def reference_key(col: Column) -> Column:
+    """``AUTHOR_year`` key from a citation string (MergeDB.py:231-255).
+
+    Handles both WoS style  ``Smith J, 2020, J DATA, V5, P10``  and
+    Scopus style  ``Smith J., Title here (2020) J Data, 5, 10``:
+    author = first comma segment (letters only, uppercased), year = first
+    standalone 19xx/20xx token anywhere in the string.  NULL when either
+    part is missing — unkeyed references never merge.
+    """
+    s = col.cast("string")
+    author = F.upper(
+        F.trim(F.regexp_replace(F.split(s, ",").getItem(0), r"[^A-Za-z ]", ""))
+    )
+    author = F.regexp_replace(author, r"\s+", " ")
+    year = F.regexp_extract(s, r"\b(19|20)\d{2}\b", 0)
+    return F.when(
+        (author != "") & (year != ""), F.concat(author, F.lit("_"), year)
+    )
+
+
+def dedup_references(df: DataFrame, id_col: str, cr_col: str = "CR") -> "DataFrame":
+    """Reference-string dedup (merge_references, MergeDB.py:210-278):
+    explode the ';'-separated citation list, key each citation, keep ONE
+    canonical string per key (the longest, ties broken lexicographically) —
+    the containment-ish semantics of the reference, order-independent."""
+    from pyspark.sql import DataFrame  # noqa: F811
+
+    refs = df.select(
+        F.col(id_col), F.explode(split_multivalue(F.col(cr_col))).alias("ref")
+    ).withColumn("ref_key", reference_key(F.col("ref")))
+    keyed = refs.filter(F.col("ref_key").isNotNull())
+    canonical = keyed.groupBy("ref_key").agg(
+        F.max_by("ref", F.struct(F.length("ref"), F.col("ref"))).alias("canonical_ref"),
+        F.count("*").alias("n_citations"),
+        F.countDistinct(id_col).alias("n_records"),
+    )
+    return canonical
+
+
 def _jaro(a: str, b: str) -> float:
     """Classic Jaro similarity (similarity.py:27-60)."""
     if a == b:

@@ -98,3 +98,32 @@ def test_jaro_winkler_udf(spark):
     df = spark.createDataFrame([("martha", "marhta")], ["a", "b"])
     got = df.select(bn.jaro_winkler_udf("a", "b").alias("jw")).first()["jw"]
     assert got == pytest.approx(0.9611, abs=1e-3)
+
+
+def test_reference_key(spark):
+    rows = [
+        ("Smith J, 2020, J DATA, V5, P10",),
+        ("Smith J., A title here (2020) J Data, 5, 10",),
+        ("No year at all, J DATA",),
+        ("2020, orphan year only",),
+    ]
+    df = spark.createDataFrame(rows, ["ref"])
+    got = [r["k"] for r in df.select(bn.reference_key(F.col("ref")).alias("k")).collect()]
+    assert got[0] == "SMITH J_2020"
+    assert got[1] == "SMITH J_2020"   # same work, both formats -> same key
+    assert got[2] is None
+    assert got[3] is None             # author part empty
+
+
+def test_dedup_references(spark):
+    rows = [
+        ("r1", "Smith J, 2020, J DATA, V5, P10; Lee B, 2019, J X"),
+        ("r2", "Smith J., Longer citation string here (2020) J Data, 5, 10"),
+        ("r3", "Lee B, 2019, J X, V1"),
+    ]
+    df = spark.createDataFrame(rows, ["UID", "CR"])
+    out = {r["ref_key"]: r for r in bn.dedup_references(df, "UID").collect()}
+    assert out["SMITH J_2020"]["n_citations"] == 2
+    assert out["SMITH J_2020"]["n_records"] == 2
+    assert "Longer citation" in out["SMITH J_2020"]["canonical_ref"]  # longest wins
+    assert out["LEE B_2019"]["n_citations"] == 2
