@@ -214,6 +214,61 @@ def orcid_arbitrate(clustered: DataFrame) -> DataFrame:
     )
 
 
+def canonical_variant_mapping(clustered: DataFrame) -> dict[str, str]:
+    """variant raw_name -> canonical raw_name per cluster.
+
+    Canonical = the most frequent raw variant (ties: lexicographically
+    first) — the reference picks the dominant variant when applying
+    clusters (pipeline.py:721-881).  Returns a plain dict for broadcast
+    into the rewrite UDF; cluster counts are aggregated distributed and
+    only the (variant, canonical) pairs reach the driver.
+    """
+    from pyspark.sql import Window as W
+
+    counts = clustered.groupBy("cluster_id", "raw_name").agg(
+        F.count("*").alias("n")
+    )
+    best = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("raw_name"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("raw_name").alias("canonical"))
+    )
+    pairs = (
+        clustered.select("cluster_id", "raw_name")
+        .distinct()
+        .join(best, "cluster_id")
+        .filter(F.col("raw_name") != F.col("canonical"))
+        .collect()
+    )
+    return {r["raw_name"]: r["canonical"] for r in pairs}
+
+
+def apply_cluster_variants(records: DataFrame, mapping: dict[str, str],
+                           au_col: str = "AU") -> DataFrame:
+    """Rewrite AU cells replacing each variant with its canonical form,
+    preserving the '; ' structure (apply path, reference pipeline.py:721-881
+    + c1_utils replace family).  The mapping ships in the UDF closure
+    (task-broadcast)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    def rewrite(cell: str) -> str:
+        parts = [p.strip() for p in str(cell or "").split(";") if p.strip()]
+        return "; ".join(mapping.get(p, p) for p in parts)
+
+    @pandas_udf(T.StringType())
+    def rewrite_udf(cells: pd.Series) -> pd.Series:
+        return cells.fillna("").map(rewrite)
+
+    return records.withColumn(au_col, rewrite_udf(F.col(au_col)))
+
+
 def run_author_disambiguation(records: DataFrame, id_col: str = "UID") -> dict[str, DataFrame]:
     """Full pass: mentions -> blocks -> clusters+tiers -> ORCID verdicts
     (pipeline.py:274-498 restated)."""

@@ -87,3 +87,23 @@ def test_orcid_conflict_verdict(result):
 def test_proposals_only_multi_variant(result):
     p = result["proposals"]
     assert all(p.variants.apply(len) > 1)
+
+
+def test_apply_cluster_variants(spark, records):
+    res = dis.run_author_disambiguation(records)
+    mapping = dis.canonical_variant_mapping(res["clusters"])
+    # smith john appears twice as raw variants across r1/r3/r7; canonical is
+    # the most frequent raw form
+    assert mapping, "expected at least one variant mapping"
+    rewritten = dis.apply_cluster_variants(records, mapping).toPandas()
+    au = dict(zip(rewritten.UID, rewritten.AU))
+    # all smith variants now share one canonical spelling
+    smith_forms = {
+        p.strip()
+        for uid in ("r1", "r2", "r3")
+        for p in au[uid].split(";")
+        if "Smith" in p and "Zara" not in p
+    }
+    assert len(smith_forms) == 1, smith_forms
+    # untouched authors survive verbatim
+    assert "Doe, Alice" in au["r1"]
