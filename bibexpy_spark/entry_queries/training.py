@@ -208,26 +208,43 @@ def e_knn_bruteforce(spark, sf_dir, k: int = 5, n_queries: int = 10):
     )
 
 
-def e_lsh_ann(spark, sf_dir, k: int = 5, n_queries: int = 10, n_planes: int = 8):
-    """LSH-bucketed ANN (random hyperplanes -> bucket equi-join -> exact
-    cosine within bucket).  The scale path: candidates shrink by ~2^planes.
-    Rows-only driver check; recall-vs-bruteforce asserted in pytest."""
+def e_lsh_ann(spark, sf_dir, k: int = 5, n_queries: int = 10,
+              n_planes: int = 4, n_tables: int = 8):
+    """Multi-table random-hyperplane LSH ANN: L tables of p planes each;
+    candidates = pairs colliding in ANY table (explode table buckets,
+    equi-join on (table, bucket), exact cosine on candidates).  Standard
+    recall/candidate tradeoff: per-table collision = (1-θ/π)^p, overall
+    1-(1-x)^L.  Rows-only driver check; recall-vs-bruteforce in pytest."""
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
     rng = np.random.default_rng(CANONICAL.minhash_seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
 
-    @F.pandas_udf(T.IntegerType())
-    def bucket_udf(emb: pd.Series) -> pd.Series:
+    bucket_schema = T.ArrayType(T.IntegerType())
+
+    @F.pandas_udf(bucket_schema)
+    def buckets_udf(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy())  # (batch, dim)
-        bits = (m @ planes.T) > 0  # (batch, planes)
-        return pd.Series(np.packbits(bits, axis=1, bitorder="little")[:, 0].astype(np.int32))
+        out = np.empty((len(m), n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            bits = (m @ planes[t].T) > 0  # (batch, planes)
+            out[:, t] = np.packbits(
+                bits, axis=1, bitorder="little"
+            )[:, 0].astype(np.int32)
+        return pd.Series(list(out))
 
-    b = e.withColumn("bucket", bucket_udf("embedding"))
-    q = b.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    b = e.withColumn("bkts", buckets_udf("embedding")).select(
+        "vec_id", "embedding",
+        F.posexplode("bkts").alias("tbl", "bucket"),
     )
-    c = b.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket")
+    q = b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        "tbl", "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"),
+        "tbl", "bucket",
+    )
 
     def dot(a, bb):
         return F.aggregate(
@@ -236,7 +253,11 @@ def e_lsh_ann(spark, sf_dir, k: int = 5, n_queries: int = 10, n_planes: int = 8)
             lambda acc, v: acc + v,
         )
 
-    j = q.join(c, "bucket").filter(F.col("query_id") != F.col("cand_id"))
+    j = (
+        q.join(c, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
     j = j.withColumn(
         "cos",
         F.round(

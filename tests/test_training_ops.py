@@ -1,0 +1,65 @@
+"""Training-data op tests: the probabilistic variants against brute force
+(the SQL-expressible variants are oracle-checked by the driver contract)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bibexpy_spark.config import CANONICAL
+from bibexpy_spark.entry_queries import training
+from bibexpy_spark.functions import kernels
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs_pd():
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_minhash_lsh_pairs_vs_bruteforce(spark, docs_pd):
+    """LSH candidates + exact verify must capture every brute-force pair at
+    the canonical threshold (recall gate on the documents table)."""
+    got = training.d_minhash_lsh_pairs(spark, SF).toPandas()
+    got_set = {tuple(sorted((a, b))) for a, b in zip(got.a_doc, got.b_doc)}
+
+    norm = kernels.normalize_text(docs_pd["text"], CANONICAL)
+    sets = kernels.shingle_sets(norm, CANONICAL)
+    ids = docs_pd["doc_id"].tolist()
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if kernels.jaccard(sets[i], sets[j]) >= CANONICAL.jaccard_threshold:
+                want.add(tuple(sorted((ids[i], ids[j]))))
+    missing = want - got_set
+    recall = 1 - len(missing) / len(want) if want else 1.0
+    assert recall >= 0.99, f"missing {len(missing)} of {len(want)}: {list(missing)[:5]}"
+    # and nothing below threshold sneaks in (verification is exact)
+    assert got_set <= want
+
+
+def test_simhash_fingerprints_match_kernel(spark, docs_pd):
+    got = training.d_simhash(spark, SF).toPandas().set_index("doc_id")["simhash"]
+    norm = kernels.normalize_text(docs_pd["text"], CANONICAL)
+    want = kernels.simhash64(norm, CANONICAL)
+    for doc_id, expected in zip(docs_pd["doc_id"], want):
+        assert got[doc_id] == expected
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    """Bucketed ANN must recover a reasonable share of true top-5 neighbors
+    (8 hyperplanes, single table: recall is probabilistic, not 1.0)."""
+    bf = training.e_knn_bruteforce(spark, SF).toPandas()
+    ann = training.e_lsh_ann(spark, SF).toPandas()
+    bf_set = set(zip(bf.query_id, bf.cand_id))
+    ann_set = set(zip(ann.query_id, ann.cand_id))
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+    # every ANN neighbor must share the query's bucket by construction and
+    # carry a cosine no better than the brute-force top-1 per query
+    top1 = bf[bf["rank"] == 1].set_index("query_id")["cos"]
+    for q, grp in ann.groupby("query_id"):
+        assert grp["cos"].max() <= top1[q] + 1e-9
