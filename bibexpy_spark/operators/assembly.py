@@ -52,6 +52,22 @@ def assemble_conversations(turns: DataFrame) -> DataFrame:
     )
 
 
+def count_duplicate_turn_keys(turns: DataFrame) -> int:
+    """Number of (conv_id, turn_idx) keys appearing more than once.
+
+    ``turn_idx`` is the contract's order key (input_hint: dense, stable);
+    duplicates still assemble deterministically (struct sort falls back to
+    the remaining fields) but per-turn identity becomes ambiguous — the
+    pipeline surfaces the count as a metric instead of failing silently.
+    """
+    return (
+        turns.groupBy("conv_id", "turn_idx")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+
+
 def assemble_docs(turns: DataFrame, include_roles_tools: bool = False) -> DataFrame:
     """Lean assembly for the dedup hot path: aggregates only (turn_idx,
     text[, role, tool]) instead of the full turn structs — the map-side

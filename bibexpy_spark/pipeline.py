@@ -48,6 +48,13 @@ def run_dedup(
         # cache stages reused by multiple downstream consumers
         return df
 
+    if run is not None:
+        # contract guard (input_hint: turn_idx is the stable order key):
+        # duplicate (conv_id, turn_idx) keys are surfaced, never silent
+        run.log_metric(
+            "assemble", duplicate_turn_keys=assembly.count_duplicate_turn_keys(turns)
+        )
+
     # lean assembly: the hot path aggregates only the fields it consumes
     # (full turn structs are available via assembly.assemble_conversations
     # for the invariant/explode-back surface)

@@ -130,3 +130,14 @@ def test_jaccard_exact():
     b = np.array([3, 4, 5, 6], dtype=np.uint64)
     assert kernels.jaccard(a, b) == pytest.approx(2 / 6)
     assert kernels.jaccard(a, a) == 1.0
+
+
+def test_count_duplicate_turn_keys(spark):
+    from bibexpy_spark.operators import assembly
+
+    rows = [("c1", 0, "u", "a", "", None), ("c1", 0, "u", "b", "", None),
+            ("c1", 1, "u", "c", "", None), ("c2", 0, "u", "d", "", None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    assert assembly.count_duplicate_turn_keys(df) == 1
