@@ -252,7 +252,9 @@ def _jaro(a: str, b: str) -> float:
             if a[i] != b[k]:
                 t += 1
             k += 1
-    t //= 2
+    # float halving, exactly as the reference (similarity.py:57 `t /= 2`)
+    # — an integer floor scores odd-transposition inputs slightly high
+    t /= 2
     return (matches / la + matches / lb + (matches - t) / matches) / 3
 
 

@@ -186,26 +186,37 @@ def orcid_arbitrate(clustered: DataFrame) -> DataFrame:
         .groupBy("cluster_id", "norm_name")
         .agg(F.array_sort(F.collect_set("orcid")).alias("orcids"))
     )
-    per_cluster = per_variant.groupBy("cluster_id").agg(
-        F.collect_list("orcids").alias("orcid_sets"),
-        F.count("*").alias("n_variants_with_orcid"),
+    # exact reference semantics (classify_by_orcid, orcid.py:245-261):
+    # conflict iff ANY TWO known sets are disjoint; merge iff every pair of
+    # known sets intersects (pairwise — NOT a single common element: three
+    # sets with pairwise overlap but empty triple intersection still merge).
+    # Pairwise check as a distributed self-join on cluster_id — clusters are
+    # tiny (a handful of name variants), so the pair volume is bounded.
+    a = per_variant.select(
+        "cluster_id", F.col("norm_name").alias("_na"), F.col("orcids").alias("_oa")
     )
-    # all sets share at least one common element  <=> size(intersect-all) > 0
-    inter_all = F.aggregate(
-        F.col("orcid_sets"),
-        F.element_at(F.col("orcid_sets"), 1),
-        lambda acc, x: F.array_intersect(acc, x),
+    b = per_variant.select(
+        "cluster_id", F.col("norm_name").alias("_nb"), F.col("orcids").alias("_ob")
     )
-    # any two sets disjoint?  union size == sum of sizes for some pair is
-    # expensive; a cluster is conflicted iff NOT all-intersecting AND it has
-    # >= 2 distinct orcid sets with no overlap chain — approximated exactly
-    # for the reference's semantics via pairwise check in a small UDF-free
-    # form: with <= a handful of variants per cluster, compare total distinct
-    # orcids vs per-set sizes
+    pair_verdict = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_na") < F.col("_nb"))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                (F.size(F.array_intersect("_oa", "_ob")) == 0).cast("int")
+            ).alias("_any_disjoint")
+        )
+    )
+    per_cluster = (
+        per_variant.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_variants_with_orcid"))
+        .join(pair_verdict, "cluster_id", "left")
+    )
     verdict = (
         F.when(F.col("n_variants_with_orcid") < 2, F.lit("unknown"))
-        .when(F.size(inter_all) > 0, F.lit("merge"))
-        .otherwise(F.lit("conflict"))
+        .when(F.col("_any_disjoint") == 1, F.lit("conflict"))
+        .otherwise(F.lit("merge"))
     )
     return per_cluster.select(
         "cluster_id",

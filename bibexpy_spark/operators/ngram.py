@@ -63,11 +63,31 @@ def gram_jaccard_pairs(
 
     ex = hashed.select("id", F.explode("gh").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("df"))
-    rare = ex.join(freq.filter(F.col("df") <= df_cap), "h").select("id", "h")
+    with_df = ex.join(freq, "h")
+    rare = with_df.filter(F.col("df") <= df_cap).select("id", "h")
+
+    # all-hot fallback (ADVICE r1): a row whose EVERY gram has df > df_cap
+    # (>df_cap identical boilerplate copies) would vanish from the index —
+    # even exact duplicates would generate no pair.  Keep each such row's
+    # single rarest gram (ties: min hash), so identical/boilerplate rows
+    # still collide on it; join volume per kept hot gram is bounded by the
+    # all-hot rows sharing that rarest gram, not the full df.  Candidates
+    # remain a SUPERSET of the rare-gram plan, and phase-2 verification is
+    # exact, so correctness vs the all-pairs oracle is unchanged.
+    allhot_rarest = (
+        with_df.groupBy("id")
+        .agg(
+            F.min("df").alias("_min_df"),
+            F.min_by("h", F.struct(F.col("df"), F.col("h"))).alias("h"),
+        )
+        .filter(F.col("_min_df") > df_cap)
+        .select("id", "h")
+    )
+    indexed = rare.unionByName(allhot_rarest)
 
     cand = (
-        rare.alias("x")
-        .join(rare.alias("y"), "h")
+        indexed.alias("x")
+        .join(indexed.alias("y"), "h")
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
@@ -93,3 +113,29 @@ def gram_jaccard_pairs(
         "union_n",
         F.round(F.col("inter").cast("double") / F.col("union_n"), 6).alias("jaccard"),
     )
+
+
+def gram_index_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int, df_cap: int = 1000
+) -> DataFrame:
+    """Dropped-gram metrics for the inverted index (never-silent contract):
+    one row with n_grams, n_hot_grams (df > df_cap), n_allhot_rows (rows kept
+    only via the rarest-gram fallback)."""
+    g = with_grams(df, id_col, text_col, k)
+    hashed = g.select(
+        "id", F.array_distinct(F.transform("grams", lambda s: F.xxhash64(s))).alias("gh")
+    )
+    ex = hashed.select("id", F.explode("gh").alias("h"))
+    freq = ex.groupBy("h").agg(F.count("*").alias("df"))
+    n_rows_allhot = (
+        ex.join(freq, "h")
+        .groupBy("id")
+        .agg(F.min("df").alias("_min_df"))
+        .filter(F.col("_min_df") > df_cap)
+        .count()
+    )
+    agg = freq.agg(
+        F.count("*").alias("n_grams"),
+        F.sum((F.col("df") > df_cap).cast("long")).alias("n_hot_grams"),
+    ).withColumn("n_allhot_rows", F.lit(n_rows_allhot))
+    return agg

@@ -7,8 +7,9 @@ Re-expresses the reference's merge core (apps/api/services/smart_merger.py,
   block       key = (norm_year, surname initial) (:185-198)
   negative    both DOIs present & different -> pair rejected (:205-240)
   stages      1 DOI exact (conf 1.0, :253-265)
-              2 PMID/UT exact (conf 0.98, :267-279)
+              2 PMID exact (conf 0.99, :267-279; UT is never cross-db)
               3 title JW>=0.92 & |Δyear|<=1 & same surname (conf 0.95, :281-307)
+              (3-5 gated on BOTH titles nonempty, :282)
               4 journal JW>=0.90 & vol & page (conf 0.90, :309-334)
               5 borderline band 0.80<=JW<0.92 -> review queue (:336-348)
   assign      greedy confidence-desc 1:1 (:654-711) -> replaced by the
@@ -31,14 +32,18 @@ from pyspark.sql import Window as W
 
 from bibexpy_spark.functions import bibex_norms as bn
 
-#: per-field merge preference (semantic parity smart_merger.py:40-57):
-#: wos | scopus | union | longer
+#: per-field merge preference — exact parity with the reference's fixed
+#: Caputo-2024 table (smart_merger.py:40-57): citation metrics / reference
+#: lists from WoS, abstract / author lists / affiliations from Scopus,
+#: keyword unions, WC/SC cross-fill wos-first; every other field defaults to
+#: wos_first (DEFAULT_PREFERENCE, smart_merger.py:58).
 FIELD_PREFERENCES = {
-    "TI": "wos", "AB": "longer", "PY": "wos", "SO": "wos", "DT": "wos",
-    "LA": "wos", "DI": "wos", "SN": "wos", "VL": "wos", "IS": "wos",
-    "BP": "wos", "EP": "wos", "TC": "scopus", "C1": "scopus", "CR": "scopus",
-    "DE": "union", "ID": "union", "AU": "wos", "UT": "wos", "PM": "scopus",
+    "TC": "wos", "CR": "wos", "NR": "wos",
+    "AB": "scopus", "AU": "scopus", "AF": "scopus", "C1": "scopus",
+    "DE": "union", "ID": "union",
+    "WC": "cross_fill_wos_first", "SC": "cross_fill_wos_first",
 }
+DEFAULT_PREFERENCE = "wos_first"
 
 BORDERLINE_LOW, STAGE3_T, STAGE4_T = 0.80, 0.92, 0.90
 
@@ -99,14 +104,23 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
     predicate ordering the reference relies on, smart_merger.py:243-350 —
     kept explicit because the JW UDF is opaque to Catalyst).
     """
+    def _nonempty(col: str):
+        return F.col(col).isNotNull() & (F.col(col) != "")
+
+    # negative rules (negative_rule_check, smart_merger.py:205-227): both
+    # sides carry the SAME strong identifier kind with DIFFERENT values ->
+    # the pair is rejected outright — never matched, never borderline.
+    # Applies to DOI, PMID and ISSN; UT/EID is deliberately NOT a negative
+    # rule (WoS UT and Scopus EID are different id spaces).
+    p = pairs
+    for ident in ("doi", "pmid", "issn"):
+        wcol, scol = f"w_norm_{ident}", f"s_norm_{ident}"
+        if wcol in p.columns and scol in p.columns:
+            p = p.filter(
+                ~(_nonempty(wcol) & _nonempty(scol) & (F.col(wcol) != F.col(scol)))
+            )
+
     have_doi = "w_norm_doi" in pairs.columns and "s_norm_doi" in pairs.columns
-    p = pairs.filter(
-        ~(
-            F.col("w_norm_doi").isNotNull()
-            & F.col("s_norm_doi").isNotNull()
-            & (F.col("w_norm_doi") != F.col("s_norm_doi"))
-        )
-    ) if have_doi else pairs
     title_jw = bn.jaro_winkler_udf(F.col("w_norm_title"), F.col("s_norm_title"))
     journal_jw = bn.jaro_winkler_udf(F.col("w_norm_journal"), F.col("s_norm_journal"))
     year_close = (
@@ -114,24 +128,43 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
         & F.col("s_norm_year").isNotNull()
         & (F.abs(F.col("w_norm_year") - F.col("s_norm_year")) <= 1)
     )
+    # surname match requires BOTH surnames nonempty (compute_match's
+    # `bool(w_surname and s_surname and ...)`, smart_merger.py:289):
+    # two missing-author records must not "agree" on the empty string.
     same_surname = (
-        F.col("w_norm_surname").isNotNull()
+        _nonempty("w_norm_surname")
+        & _nonempty("s_norm_surname")
         & (F.col("w_norm_surname") == F.col("s_norm_surname"))
     )
     stage1 = (
-        F.col("w_norm_doi").isNotNull() & (F.col("w_norm_doi") == F.col("s_norm_doi"))
+        _nonempty("w_norm_doi") & (F.col("w_norm_doi") == F.col("s_norm_doi"))
     ) if have_doi else F.lit(False)
     stage2 = (
-        F.col("w_norm_pmid").isNotNull() & (F.col("w_norm_pmid") == F.col("s_norm_pmid"))
+        _nonempty("w_norm_pmid") & (F.col("w_norm_pmid") == F.col("s_norm_pmid"))
     ) if "w_norm_pmid" in p.columns and "s_norm_pmid" in p.columns else F.lit(False)
 
-    p = p.withColumn("_title_jw", title_jw)
-    stage3 = (F.col("_title_jw") >= STAGE3_T) & year_close & same_surname
+    # stages 3-5 exist only inside compute_match's `if w_title and s_title`
+    # block (smart_merger.py:282): records missing a title can match on
+    # strong identifiers alone, never on fuzzy similarity.
+    both_titles = _nonempty("w_norm_title") & _nonempty("s_norm_title")
+    p = p.withColumn(
+        "_title_jw", F.when(both_titles, title_jw).otherwise(F.lit(None))
+    )
+    stage3 = (
+        both_titles & (F.col("_title_jw") >= STAGE3_T) & year_close & same_surname
+    )
 
     have_journal = "w_norm_journal" in p.columns and "s_norm_journal" in p.columns
+    both_journals = (
+        _nonempty("w_norm_journal") & _nonempty("s_norm_journal")
+        if have_journal
+        else F.lit(False)
+    )
     p = p.withColumn(
         "_journal_jw",
-        F.when(stage1 | stage2 | stage3, F.lit(0.0)).otherwise(journal_jw)
+        F.when(stage1 | stage2 | stage3 | ~both_journals, F.lit(0.0)).otherwise(
+            journal_jw
+        )
         if have_journal
         else F.lit(0.0),
     )
@@ -139,23 +172,33 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
     def _eq_if_present(name: str):
         wcol, scol = f"w_norm_{name}", f"s_norm_{name}"
         if wcol in p.columns and scol in p.columns:
-            return F.col(wcol).isNotNull() & (F.col(wcol) == F.col(scol))
+            return _nonempty(wcol) & (F.col(wcol) == F.col(scol))
         return F.lit(False)
 
+    # stage 4 (smart_merger.py:309-334): journal JW + exact volume + page
+    # match — no extra title-JW floor beyond the nonempty-titles gate.
     stage4 = (
-        (F.col("_journal_jw") >= STAGE4_T)
+        both_titles
+        & both_journals
+        & (F.col("_journal_jw") >= STAGE4_T)
         & _eq_if_present("vol")
         & _eq_if_present("page")
-        & (F.col("_title_jw") >= BORDERLINE_LOW)
     )
+    # stage 5 borderline band (smart_merger.py:336-348): title JW alone
+    # decides queue membership — the reference has NO year condition here.
     borderline = (
-        (F.col("_title_jw") >= BORDERLINE_LOW)
+        both_titles
+        & (F.col("_title_jw") >= BORDERLINE_LOW)
         & (F.col("_title_jw") < STAGE3_T)
-        & year_close
     )
-    # linear confidence scale for borderline band (smart_merger.py:337-339)
-    border_conf = 0.70 + (F.col("_title_jw") - BORDERLINE_LOW) * (0.85 - 0.70) / (
-        STAGE3_T - BORDERLINE_LOW
+    # linear confidence scale for borderline band, rounded to 3 decimals
+    # (smart_merger.py:337-339 `round(conf, 3)`)
+    border_conf = F.round(
+        0.70
+        + (F.col("_title_jw") - BORDERLINE_LOW)
+        * (0.85 - 0.70)
+        / (STAGE3_T - BORDERLINE_LOW),
+        3,
     )
     scored = p.withColumn(
         "stage",
@@ -163,7 +206,7 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
         .when(borderline, 5),
     ).withColumn(
         "confidence",
-        F.when(stage1, 1.0).when(stage2, 0.98).when(stage3, 0.95).when(stage4, 0.90)
+        F.when(stage1, 1.0).when(stage2, 0.99).when(stage3, 0.95).when(stage4, 0.90)
         .when(borderline, border_conf),
     )
     return scored.filter(F.col("stage").isNotNull()).withColumn(
@@ -192,7 +235,7 @@ def merge_matched(assigned: DataFrame, fields: list[str]) -> DataFrame:
     conflicts = []
     for f in fields:
         wcol, scol = F.col(f"w{f}"), F.col(f"s{f}")
-        pref = FIELD_PREFERENCES.get(f, "wos")
+        pref = FIELD_PREFERENCES.get(f, DEFAULT_PREFERENCE)
         w_empty = wcol.isNull() | (F.trim(wcol.cast("string")) == "") | (
             F.upper(wcol.cast("string")) == "NAN"
         )
@@ -203,7 +246,7 @@ def merge_matched(assigned: DataFrame, fields: list[str]) -> DataFrame:
         s_val = F.when(~s_empty, scol.cast("string"))
         if pref == "scopus":
             merged = F.coalesce(s_val, w_val)
-        elif pref == "union":
+        elif pref == "union":  # noqa: SIM114 — kept parallel to the reference table
             merged = F.array_join(
                 F.array_distinct(
                     F.concat(
@@ -214,13 +257,7 @@ def merge_matched(assigned: DataFrame, fields: list[str]) -> DataFrame:
                 "; ",
             )
             merged = F.when(merged != "", merged)
-        elif pref == "longer":
-            merged = F.when(
-                F.length(F.coalesce(w_val, F.lit(""))) >= F.length(F.coalesce(s_val, F.lit(""))),
-                w_val,
-            ).otherwise(s_val)
-            merged = F.coalesce(merged, s_val, w_val)
-        else:  # wos-first
+        else:  # "wos" / "wos_first" / "cross_fill_wos_first" all fall back
             merged = F.coalesce(w_val, s_val)
         cols.append(merged.alias(f))
         conflicts.append(

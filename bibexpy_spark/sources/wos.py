@@ -90,12 +90,36 @@ def read_wos_tagged(spark: SparkSession, path: str) -> DataFrame:
         .pivot("tag", sorted(tags))
         .agg(F.first("val"))
     )
-    # uppercase everything except DI (reference wos2xlsx.py:100-104); keep a
-    # raw copy of C1 (reference derives C1raw before uppercasing)
-    if "C1" in wide.columns:
-        wide = wide.withColumn("C1raw", F.col("C1"))
+    # reference post-processing (wos2xlsx.py:73-110):
+    #   AU/AF/CR: '---' -> ';' (one author / citation per separator)
+    #   all other tags: '---' -> ' ' + trim (continuation lines space-join)
+    #   C1raw = space-joined C1; C1 = bracket-strip + '.' -> '.;'
+    #   AU: ',' -> ' ' (comma strip)   DB = 'ISI'
+    #   uppercase every text column except DI
+    comma_tags = ("AU", "AF", "CR")
     for c in wide.columns:
-        if c not in ("file", "doc_id", "DI", "C1raw"):
+        if c in ("file", "doc_id"):
+            continue
+        if c in comma_tags:
+            wide = wide.withColumn(c, F.replace(F.col(c), F.lit("---"), F.lit(";")))
+        else:
+            wide = wide.withColumn(
+                c, F.trim(F.replace(F.col(c), F.lit("---"), F.lit(" ")))
+            )
+    if "C1" in wide.columns:
+        wide = wide.withColumn("C1raw", F.col("C1")).withColumn(
+            "C1",
+            F.replace(
+                F.regexp_replace("C1", r"\[.*?\]", ""), F.lit("."), F.lit(".;")
+            ),
+        )
+    if "AU" in wide.columns:
+        wide = wide.withColumn(
+            "AU", F.trim(F.replace(F.col("AU"), F.lit(","), F.lit(" ")))
+        )
+    wide = wide.withColumn("DB", F.lit("ISI"))
+    for c in wide.columns:
+        if c not in ("file", "doc_id", "DI"):
             wide = wide.withColumn(c, F.upper(F.col(c)))
     return wide
 

@@ -1,0 +1,69 @@
+"""Two-phase n-gram Jaccard plan: losslessness vs brute force, including the
+all-hot-gram fallback (ADVICE r1: boilerplate rows whose every gram exceeds
+df_cap must still pair — at minimum exact duplicates)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from bibexpy_spark.operators import ngram
+
+
+def _brute_pairs(rows, k, t):
+    def grams(text):
+        toks = [t for t in "".join(
+            c.lower() if c.isalnum() else " " for c in text
+        ).split() if t]
+        if len(toks) >= k:
+            return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+        return {" ".join(toks)}
+
+    gs = {i: grams(t) for i, t in rows}
+    out = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        inter = len(gs[ia] & gs[ib])
+        union = len(gs[ia] | gs[ib])
+        if union and inter / union >= t:
+            out.add(tuple(sorted((ia, ib))))
+    return out
+
+
+def test_allhot_boilerplate_rows_still_pair(spark):
+    """df_cap=2 makes every gram of the boilerplate 'hot'; the rarest-gram
+    fallback must still catch the exact duplicates."""
+    boiler = "the same exact boilerplate text repeated verbatim"
+    rows = [(f"b{i}", boiler) for i in range(6)]
+    rows += [("u1", "a unique document about spark shuffles and joins here"),
+             ("u2", "another unique document about partition pruning here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = ngram.gram_jaccard_pairs(
+        df, "doc_id", "text", k=3, t_num=4, t_den=5, df_cap=2
+    )
+    got = {tuple(sorted((r["a_id"], r["b_id"]))) for r in pairs.collect()}
+    expected = _brute_pairs(rows, 3, 0.8)
+    assert got == expected
+    assert len(got) == 15  # all 6-choose-2 boilerplate pairs
+
+
+def test_mixed_corpus_equals_bruteforce(spark):
+    rows = [
+        ("a", "spark shuffle partitions and broadcast joins in practice"),
+        ("b", "spark shuffle partitions and broadcast joins in production"),
+        ("c", "a completely different text about connected components"),
+        ("d", "spark shuffle partitions and broadcast joins in practice"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = ngram.gram_jaccard_pairs(df, "doc_id", "text", 3, 1, 2)
+    got = {tuple(sorted((r["a_id"], r["b_id"]))) for r in pairs.collect()}
+    assert got == _brute_pairs(rows, 3, 0.5)
+
+
+def test_gram_index_stats(spark):
+    rows = [(f"b{i}", "same boiler text here") for i in range(5)]
+    rows.append(("u", "one unique document text"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    st = ngram.gram_index_stats(df, "doc_id", "text", 3, df_cap=2).collect()[0]
+    assert st["n_hot_grams"] >= 1
+    assert st["n_allhot_rows"] == 5

@@ -103,9 +103,12 @@ def test_lost_records_pass_through(result):
 
 
 def test_field_preferences(result):
+    """Exact Caputo-2024 table parity (reference smart_merger.py:40-57):
+    TC from WoS, AB/AU from Scopus, DE union-dedup."""
     s1 = result["merged"][result["merged"].stage == 1].iloc[0]
-    assert s1["TC"] == "7"                       # scopus-preferred
-    assert "longer abstract" in s1["AB"]         # longer-wins
+    assert s1["TC"] == "3"                       # wos-preferred
+    assert "longer abstract" in s1["AB"]         # scopus-preferred
+    assert s1["AU"] == "Smith, John"             # scopus-preferred
     assert set(s1["DE"].split("; ")) == {"dedup", "ml", "spark"}  # union
 
 
@@ -116,6 +119,61 @@ def test_conflict_log(result):
     assert len(tc_conflicts) >= 1
     row = tc_conflicts.iloc[0]
     assert row["wos_value"] != row["scopus_value"]
+
+
+def test_empty_titles_never_fuzzy_match(spark):
+    """compute_match gates stages 3-5 on BOTH titles nonempty
+    (smart_merger.py:282): two records missing TI (and AU) with close years
+    must NOT auto-match — jaro_winkler('','')==1.0 would otherwise fire
+    stage 3 at confidence 0.95 (ADVICE round 1, high)."""
+    wos = spark.createDataFrame(
+        [{"AU": "", "TI": "", "SO": "J A", "PY": "2020", "DI": ""}]
+    )
+    scp = spark.createDataFrame(
+        [{"AU": "", "TI": "", "SO": "J A", "PY": "2020", "DI": ""}]
+    )
+    res = sm.run_smart_merge(wos, scp)
+    assert res["merged"].count() == 0
+    assert res["borderline"].count() == 0
+
+
+def test_pmid_issn_negative_rules(spark):
+    """negative_rule_check covers PMID and ISSN, not just DOI
+    (smart_merger.py:205-227)."""
+    base = {"AU": "Same, A.", "TI": "The exact same title", "SO": "J A",
+            "PY": "2020", "DI": ""}
+    wos = spark.createDataFrame([{**base, "PM": "111", "SN": "1111-2222"}])
+    scp = spark.createDataFrame([{**base, "PM": "222", "SN": "1111-2222"}])
+    res = sm.run_smart_merge(wos, scp)
+    assert res["merged"].count() == 0  # PMID mismatch rejects
+
+    scp2 = spark.createDataFrame([{**base, "PM": "111", "SN": "3333-4444"}])
+    res2 = sm.run_smart_merge(wos, scp2)
+    assert res2["merged"].count() == 0  # ISSN mismatch rejects
+
+    scp3 = spark.createDataFrame([{**base, "PM": "111", "SN": "1111-2222"}])
+    res3 = sm.run_smart_merge(wos, scp3)
+    audit = res3["match_audit"].toPandas()
+    assert len(audit) == 1 and audit.iloc[0]["stage"] == 2
+    assert audit.iloc[0]["confidence"] == 0.99  # reference stage-2 confidence
+
+
+def test_borderline_predicate_title_only(spark):
+    """Stage 5 queues on title JW alone (smart_merger.py:336-348) — no
+    year/surname condition beyond the block key; confidence is the linear
+    band value rounded to 3 decimals (reference `round(conf, 3)`)."""
+    wos = spark.createDataFrame(
+        [{"AU": "Gray, B.", "TI": "Measuring shuffle skew in engines",
+          "SO": "J Y", "PY": "2019", "DI": ""}]
+    )
+    scp = spark.createDataFrame(
+        [{"AU": "Gold, X.", "TI": "Measured shuffling skews with big engines",
+          "SO": "J Z", "PY": "2019", "DI": ""}]
+    )
+    res = sm.run_smart_merge(wos, scp)
+    b = res["borderline"].toPandas()
+    assert len(b) == 1  # different surnames, same initial block — still queued
+    assert round(b.iloc[0]["confidence"], 3) == b.iloc[0]["confidence"]
 
 
 def test_counts_add_up(result):

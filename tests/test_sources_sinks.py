@@ -25,12 +25,24 @@ def test_wos_scan_doc_count_and_tags(wos_df):
 
 
 def test_wos_continuation_lines_joined(wos_df):
-    """Multi-line AU and TI must merge continuation lines under one tag
-    (reference isi2df '---'-join, wos2xlsx.py:21-64)."""
+    """Multi-line AU joins with ';' (one author per separator) and commas
+    are stripped; other tags (TI) space-join — exact isi2df post-processing
+    (wos2xlsx.py:73-99: comma_tags='---'→';', others '---'→' ', AU ','→' ')."""
     row = wos_df.filter(F.col("AU").contains("AUTHOR0")).first()
-    assert "---" in row["AU"]            # two author lines -> joined
+    assert ";" in row["AU"]              # two author lines -> ';'-joined
     assert "COAUTHOR0" in row["AU"]
-    assert "---" in row["TI"]            # title wrapped across lines
+    assert "," not in row["AU"]          # AU comma strip
+    assert "---" not in row["TI"]        # title wrapped across lines
+    assert len(row["TI"].split()) == 6   # 6 words space-joined
+
+
+def test_wos_c1_bracket_strip_and_raw(wos_df):
+    """C1raw keeps the '[author]' prefix; C1 strips it and splits on '.'
+    (wos2xlsx.py:86-91)."""
+    row = wos_df.orderBy("doc_id").first()
+    assert row["C1raw"].startswith("[")
+    assert "[" not in row["C1"]
+    assert row["DB"] == "ISI"
 
 
 def test_wos_uppercase_except_di(wos_df):

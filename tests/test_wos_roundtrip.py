@@ -36,6 +36,7 @@ def test_wos_sink_then_scan_roundtrip(spark, tmp_path):
         assert di in got, f"{di} lost in roundtrip"
         gti, gso, gpy, gtc = got[di]
         assert gti == ti and gso == so and gpy == py and gtc == tc
-    # multi-value AU survives as the reference's '---'-joined form
+    # multi-value AU survives, ';'-joined and comma-stripped — the exact
+    # isi2df output shape (wos2xlsx.py:73-99)
     au0 = {r["DI"]: r["AU"] for r in back.collect()}["10.1/x.1"]
-    assert "SMITH, J." in au0 and "DOE, A." in au0
+    assert "SMITH  J." in au0 and "DOE  A." in au0 and ";" in au0
