@@ -315,3 +315,62 @@ def run_smart_merge(wos: DataFrame, scp: DataFrame) -> dict[str, DataFrame]:
         "conflict_log": conflict_log,
         "match_audit": match_audit,
     }
+
+
+def _doi_conflict_expr(w_raw, s_raw):
+    """Both raw DOIs normalize to values AND they differ (doi_conflict,
+    smart_merger.py:230-240) — the retroactive safety layer for old queues."""
+    w, s = bn.normalize_doi(w_raw), bn.normalize_doi(s_raw)
+    return w.isNotNull() & s.isNotNull() & (w != s)
+
+
+def decide_borderline(
+    dataset: DataFrame,
+    borderline: DataFrame,
+    decisions: DataFrame,
+    table=None,
+) -> dict[str, DataFrame]:
+    """Apply user borderline decisions (decide_borderline,
+    smart_merger.py:887-989).
+
+    ``dataset``    the assembled post-merge table (merged ∪ lost rows) with
+                   a DI column — accept means "same publication", so the
+                   redundant Scopus row is dropped by its DOI.
+    ``borderline`` the queue from run_smart_merge (w_id, s_id, wDI, sDI...).
+    ``decisions``  (w_id, s_id, decision in 'accept'|'reject'|'skip').
+
+    DOI guard runs again at apply time (reference rule: the guard is
+    authoritative in the apply layer too — a direct API call can never force
+    a wrong merge).  Returns the new dataset, the per-decision audit rows,
+    and the accepted-and-applied pairs.  When ``table`` (a VersionedTable)
+    is given, the new dataset is written as a fresh snapshot — the prior
+    version IS the pre-mutation snapshot (append-only discipline).
+    """
+    joined = decisions.join(borderline, ["w_id", "s_id"], "inner")
+    guard = (
+        _doi_conflict_expr(F.col("wDI"), F.col("sDI"))
+        if "wDI" in joined.columns and "sDI" in joined.columns
+        else F.lit(False)
+    )
+    judged = joined.withColumn("doi_guarded", guard).withColumn(
+        "effective",
+        F.when(F.col("doi_guarded"), F.lit("blocked")).otherwise(F.col("decision")),
+    )
+    accepted = judged.filter(F.col("effective") == "accept")
+
+    drop_keys = (
+        accepted.select(F.lower(F.trim(F.col("sDI"))).alias("_drop_di"))
+        .filter(F.col("_drop_di").isNotNull() & (F.col("_drop_di") != ""))
+        .distinct()
+    )
+    new_dataset = dataset.join(
+        F.broadcast(drop_keys),
+        F.lower(F.trim(dataset["DI"])) == drop_keys["_drop_di"],
+        "left_anti",
+    )
+    audit = judged.select(
+        "w_id", "s_id", "decision", "doi_guarded", "effective"
+    )
+    if table is not None:
+        table.write(new_dataset)
+    return {"dataset": new_dataset, "audit": audit, "accepted": accepted}

@@ -138,20 +138,36 @@ def write_sample_wos(path: str, n_docs: int = 25, seed: int = 7) -> str:
         return path
     rng = np.random.default_rng(seed)
     words = "spark shuffle merge dedup cluster band salt verify".split()
+    # real WoS-style country variants (canonicalizable per c1_utils dicts)
+    countries = ["USA", "Peoples R China", "England", "Turkiye", "Germany"]
+    # institution variants: idx 1/2 are JW-close spellings of idx 0 (the
+    # affiliation-clustering signal); idx 3 is distinct
+    insts = ["Univ Example", "Univ Examples", "Univ Exampl", "Acad Sinica Inst"]
+    # research-field signal (WC) for author-split detection: Author3 appears
+    # in two field-disjoint groups (physics docs vs biology docs)
+    fields = ["Physics, Applied", "Biology", "Computer Science", "Mathematics"]
     out = ["FN Synthetic Export", "VR 1.0"]
     for i in range(n_docs):
         title_words = rng.choice(words, size=6)
+        country = countries[i % len(countries)]
+        inst = insts[i % len(insts)]
+        # Author3 spans disjoint fields: docs 3, 8 get Physics; 13, 18 Biology
+        au_extra = "Author3, S." if i in (8, 13, 18) else f"Coauthor{i}, B."
+        wc = "Physics, Applied" if i in (3, 8) else (
+            "Biology" if i in (13, 18) else fields[i % len(fields)]
+        )
         out += [
             "PT J",
             f"AU Author{i}, A.",
-            f"   Coauthor{i}, B.",
+            f"   {au_extra}",
             "TI " + " ".join(title_words[:3]),
             "   " + " ".join(title_words[3:]),
             f"SO JOURNAL OF {words[i % len(words)].upper()}",
             f"PY {1990 + (i % 30)}",
             f"DI 10.{1000 + i}/synthetic.{i}",
             f"TC {int(rng.integers(0, 100))}",
-            "C1 [Author{0}, A.] Univ Example, Dept Data, City, Country.".format(i),
+            f"C1 [Author{i}, A.] {inst}, Dept Data, Springfield, {country}.",
+            f"WC {wc}",
             "ER",
         ]
     out.append("EF")
