@@ -16,10 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 def _ensure_fixtures() -> None:
     """Materialize the deterministic transcript fixtures the queries and
     oracle SQL read (BASELINE.json: transcripts are synthesized, not shipped)."""
-    from bibexpy_spark import corpus
+    from bibexpy_spark import corpus, golden
 
     for sf in ("sf0.001", "sf0.01"):
         corpus.corpus_path_for_sf(f"/root/testdata/{sf}")
+    # golden-parquet oracles for the non-SQL-expressible queries (independent
+    # pandas/numpy recomputation; DuckDB reads them via read_parquet)
+    golden.ensure_goldens()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -36,13 +36,19 @@ def s_scopus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def s_smart_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WoS sample x Scopus sample through the full Smart Merge; returns the
-    match audit (stage + confidence per matched pair)."""
+    merged table (stage + confidence + merged fields per matched pair).
+    Row ids are the natural DOI key (unique per side in the samples), so the
+    golden pandas oracle reproduces them exactly."""
     from bibexpy_spark.operators import smart_merge as sm
 
-    wos_df = s_wos_scan(spark, sf_dir)
-    scp_df = s_scopus_scan(spark, sf_dir)
     shared = ["AU", "TI", "SO", "PY", "DI", "TC"]
-    res = sm.run_smart_merge(wos_df.select(*shared), scp_df.select(*shared))
+    wos_df = s_wos_scan(spark, sf_dir).select(*shared).withColumn(
+        "_row_id", F.concat(F.lit("w"), F.col("DI"))
+    )
+    scp_df = s_scopus_scan(spark, sf_dir).select(*shared).withColumn(
+        "_row_id", F.concat(F.lit("s"), F.col("DI"))
+    )
+    res = sm.run_smart_merge(wos_df, scp_df)
     return res["merged"]
 
 
@@ -99,12 +105,93 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (metrics path at 10^12 scale) — rows-only:
-    HLL sketches differ across engines by construction."""
+    """approx_count_distinct (metrics path at 10^12 scale).  HLL sketches
+    differ across engines by construction, so the oracle-checkable contract
+    is the exact count plus a bounded-relative-error flag on the estimate
+    (Spark's HLL++ guarantees rsd <= 0.05 by default)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("_approx"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    return agg.select(
+        "exact_orders",
+        (
+            F.abs(F.col("_approx") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("approx_within_5pct"),
+    )
+
+
+# -- entity standardization blocks (reference blocking.py:286-583) -----------
+
+def _wos_with_uid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return s_wos_scan(spark, sf_dir).withColumn(
+        "UID", F.concat_ws("_", "file", "doc_id")
+    )
+
+
+def q_c1_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-address institution + country extraction (reference
+    parse_c1_address, c1_utils.py:225-257: org-keyword scan, geographic
+    strip, dictionary-gated country)."""
+    from bibexpy_spark.functions import c1_address as c1
+
+    wos_df = _wos_with_uid(spark, sf_dir)
+    return c1.explode_addresses(
+        wos_df.select("UID", F.col("C1raw").alias("C1")), "UID"
+    ).select("UID", "addr_pos", "institution", "country")
+
+
+def s_affiliation_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affiliation-variant merge proposals (blocking.py:362-429)."""
+    from bibexpy_spark.operators import entity_blocks as eb
+
+    wos_df = _wos_with_uid(spark, sf_dir)
+    out = eb.affiliation_blocks(wos_df.select("UID", F.col("C1raw").alias("C1")))
+    return out.select(
+        "block", "cluster_id", "tier", "min_jw",
+        F.array_join("variants", "; ").alias("variants"),
+        F.array_join("records", "; ").alias("records"),
+    )
+
+
+def s_author_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-disjoint author split proposals (blocking.py:286-359)."""
+    from bibexpy_spark.operators import entity_blocks as eb
+
+    wos_df = _wos_with_uid(spark, sf_dir)
+    out = eb.author_split_proposals(wos_df.select("UID", "AU", "WC"))
+    return out.select(
+        "split_id", "name", "norm", "tier", "group_idx", "suffix",
+        F.array_join("records", "; ").alias("records"),
+        F.array_join("fields", "; ").alias("fields"),
+    )
+
+
+def q_country_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Country standardization proposals (blocking.py:429-513)."""
+    from bibexpy_spark.operators import entity_blocks as eb
+
+    wos_df = _wos_with_uid(spark, sf_dir)
+    out = eb.country_blocks(wos_df.select("UID", F.col("C1raw").alias("C1")), "UID")
+    return out.select(
+        "tier", "canonical",
+        F.array_join("variants", "; ").alias("variants"),
+        "n_records",
+    )
+
+
+def q_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-institution rollup proposals (blocking.py:513-583)."""
+    from bibexpy_spark.operators import entity_blocks as eb
+
+    wos_df = _wos_with_uid(spark, sf_dir)
+    out = eb.org_rollup_blocks(wos_df.select("UID", F.col("C1raw").alias("C1")), "UID")
+    return out.select(
+        "block", "cluster_id", "tier", "canonical_name",
+        F.array_join("variants", "; ").alias("variants"),
+        F.array_join("records", "; ").alias("records"),
     )
 
 
@@ -113,8 +200,13 @@ QUERIES = {
     "s_scopus_scan": s_scopus_scan,
     "s_smart_merge": s_smart_merge,
     "s_disambiguation": s_disambiguation,
+    "s_affiliation_blocks": s_affiliation_blocks,
+    "s_author_splits": s_author_splits,
     "m_media_features": m_media_features,
     "q_c1_countries": q_c1_countries,
+    "q_c1_parsed": q_c1_parsed,
+    "q_country_blocks": q_country_blocks,
+    "q_org_rollup": q_org_rollup,
     "q_rollup": q_rollup,
     "q_running_sum": q_running_sum,
     "q_approx_distinct": q_approx_distinct,
@@ -134,4 +226,33 @@ ORACLES = {
                AS prev_type
       FROM events
     """,
+    "q_approx_distinct": """
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             TRUE AS approx_within_5pct
+      FROM lineitem
+    """,
 }
+
+# Golden-parquet oracles: independent pandas parsers / reference-semantics
+# pandas pipelines in bibexpy_spark.golden precompute ground truth for the
+# source scans and UDF-heavy pipelines; DuckDB reads the parquet back.
+from bibexpy_spark import golden as _golden  # noqa: E402
+
+ORACLES.update(
+    {
+        name: _golden.oracle_sql_for(name)
+        for name in (
+            "s_wos_scan",
+            "s_scopus_scan",
+            "s_smart_merge",
+            "s_disambiguation",
+            "s_affiliation_blocks",
+            "s_author_splits",
+            "m_media_features",
+            "q_c1_countries",
+            "q_c1_parsed",
+            "q_country_blocks",
+            "q_org_rollup",
+        )
+    }
+)

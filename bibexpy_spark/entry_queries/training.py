@@ -277,6 +277,73 @@ def e_lsh_ann(spark, sf_dir, k: int = 5, n_queries: int = 10,
     )
 
 
+def e_cosine_lsh(spark, sf_dir, threshold: float = 0.4,
+                 n_planes: int = 6, n_tables: int = 64):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH bucketing — the
+    SCALE PATH for e_cosine_dup_pairs (no crossJoin; candidates = pairs
+    colliding in ANY of L tables, exact cosine on candidates only).
+
+    Parameter note (honest S-curve): this fixture's duplicate pairs sit at
+    cos ~0.45, near the hyperplane-LSH crossover (per-plane collision
+    1-θ/π ≈ 0.65), so p=6/L=64 is needed for recall 1.0 and still admits
+    ~63% of all pairs as candidates at sf0.01.  For the realistic embedding-
+    dedup regime (near-dups at cos >= 0.8, per-plane >= 0.85) the same
+    operator with p=16/L=32 gives sub-1% candidate rates — the knobs trade
+    recall for candidate volume and the choice is corpus-dependent.
+    Oracle: golden parquet from the identical deterministic algorithm.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    rng = np.random.default_rng(CANONICAL.minhash_seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets_udf(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())
+        out = np.empty((len(m), n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            bits = (m @ planes[t].T) > 0
+            out[:, t] = np.packbits(bits, axis=1, bitorder="little")[:, 0].astype(np.int32)
+        return pd.Series(list(out))
+
+    b = e.withColumn("bkts", buckets_udf("embedding")).select(
+        "vec_id", "embedding", F.posexplode("bkts").alias("tbl", "bucket")
+    )
+    a = b.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"),
+        "tbl", "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"),
+        "tbl", "bucket",
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    j = (
+        a.join(c, ["tbl", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    j = j.withColumn(
+        "cos",
+        F.round(
+            dot(F.col("a_emb"), F.col("b_emb"))
+            / (
+                F.sqrt(dot(F.col("a_emb"), F.col("a_emb")))
+                * F.sqrt(dot(F.col("b_emb"), F.col("b_emb")))
+            ),
+            4,
+        ),
+    )
+    return j.filter(F.col("cos") >= threshold).select("a_id", "b_id", "cos")
+
+
 def e_cosine_dup_pairs(spark, sf_dir, threshold: float = 0.4):
     """Embedding-cosine near-duplicate pairs: all pairs with rounded cosine
     >= threshold.  Brute force at test scale; the LSH-bucketed variant
@@ -309,6 +376,7 @@ def e_cosine_dup_pairs(spark, sf_dir, threshold: float = 0.4):
 
 QUERIES = {
     "e_cosine_dup_pairs": e_cosine_dup_pairs,
+    "e_cosine_lsh": e_cosine_lsh,
     "d_exact_dedup": d_exact_dedup,
     "d_ngram_jaccard_pairs": d_ngram_jaccard_pairs,
     "d_minhash_lsh_pairs": d_minhash_lsh_pairs,
@@ -433,3 +501,18 @@ ORACLES = {
       ) WHERE rank <= 5
     """,
 }
+
+
+# Golden-parquet oracles for the kernel-backed entries (independent
+# single-process recomputation in bibexpy_spark.golden; DuckDB reads the
+# expected parquet back — the driver's standard comparison applies).
+from bibexpy_spark import golden as _golden  # noqa: E402
+
+ORACLES.update(
+    {
+        "d_minhash_lsh_pairs": _golden.oracle_sql_for("d_minhash_lsh_pairs"),
+        "d_simhash": _golden.oracle_sql_for("d_simhash"),
+        "e_lsh_ann": _golden.oracle_sql_for("e_lsh_ann"),
+        "e_cosine_lsh": _golden.oracle_sql_for("e_cosine_lsh"),
+    }
+)

@@ -332,3 +332,17 @@ ORACLES = {
       GROUP BY conv_id
     """,
 }
+
+# Golden-parquet oracles for the kernel-backed (non-SQL-expressible) family:
+# ground truth precomputed by the independent single-process pipeline in
+# bibexpy_spark.golden (python dict buckets + union-find over the shared,
+# pytest-bruteforce-verified kernels); DuckDB reads the parquet back.
+from bibexpy_spark import golden as _golden  # noqa: E402
+
+ORACLES.update(
+    {
+        "t_minhash_dup_pairs": _golden.oracle_sql_for("t_minhash_dup_pairs"),
+        "t_canonical_clusters": _golden.oracle_sql_for("t_canonical_clusters"),
+        "t_simhash_pairs": _golden.oracle_sql_for("t_simhash_pairs"),
+    }
+)

@@ -278,12 +278,21 @@ def run_smart_merge(wos: DataFrame, scp: DataFrame) -> dict[str, DataFrame]:
     """Full merge: returns merged / lost_wos / lost_scopus / borderline /
     conflict_log / match_audit DataFrames (the analysis-folder artifact set,
     smart_merger.py:761-779)."""
-    wos = with_norm_columns(wos).withColumn(
-        "_row_id", F.concat(F.lit("w"), F.xxhash64(*[F.col(c) for c in wos.columns]).cast("string"))
-    )
-    scp = with_norm_columns(scp).withColumn(
-        "_row_id", F.concat(F.lit("s"), F.xxhash64(*[F.col(c) for c in scp.columns]).cast("string"))
-    )
+    # callers may supply a stable ``_row_id`` (e.g. a natural key) — the
+    # golden-oracle path depends on reproducible ids; otherwise derive one
+    # from a content hash
+    if "_row_id" not in wos.columns:
+        wos = wos.withColumn(
+            "_row_id",
+            F.concat(F.lit("w"), F.xxhash64(*[F.col(c) for c in wos.columns]).cast("string")),
+        )
+    if "_row_id" not in scp.columns:
+        scp = scp.withColumn(
+            "_row_id",
+            F.concat(F.lit("s"), F.xxhash64(*[F.col(c) for c in scp.columns]).cast("string")),
+        )
+    wos = with_norm_columns(wos)
+    scp = with_norm_columns(scp)
     shared_fields = sorted(
         (set(wos.columns) & set(scp.columns))
         - {c for c in wos.columns if c.startswith("_")}

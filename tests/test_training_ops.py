@@ -63,3 +63,17 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     top1 = bf[bf["rank"] == 1].set_index("query_id")["cos"]
     for q, grp in ann.groupby("query_id"):
         assert grp["cos"].max() <= top1[q] + 1e-9
+
+
+def test_cosine_lsh_recall_vs_bruteforce(spark):
+    """The cosine-threshold SCALE PATH (hyperplane LSH buckets, p=6/L=64)
+    must recover >= 0.99 of the brute-force pairs at cos >= 0.4 — the
+    VERDICT r1 requirement for replacing the crossJoin operator."""
+    bf = training.e_cosine_dup_pairs(spark, SF).toPandas()
+    lsh = training.e_cosine_lsh(spark, SF).toPandas()
+    bf_set = {tuple(sorted((a, b))) for a, b in zip(bf.a_id, bf.b_id)}
+    lsh_set = {tuple(sorted((a, b))) for a, b in zip(lsh.a_id, lsh.b_id)}
+    recall = len(bf_set & lsh_set) / len(bf_set) if bf_set else 1.0
+    assert recall >= 0.99, f"cosine-LSH recall {recall}"
+    # precision is exact: every emitted pair is verified by true cosine
+    assert lsh_set <= bf_set
