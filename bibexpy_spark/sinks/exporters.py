@@ -170,6 +170,16 @@ def export(df: DataFrame, path: str, fmt: str) -> None:
             raise NotImplementedError(
                 "xlsx export requires openpyxl; use csv/tsv/parquet here"
             ) from exc
+        # single-file spreadsheet = driver-collected by contract (the
+        # reference writes one merged.xlsx); cap the collect so a mistargeted
+        # 100-TB table errors instead of OOMing the driver
+        cap = 1_048_576  # the XLSX format's own row ceiling
+        n = df.limit(cap + 1).count()
+        if n > cap:
+            raise ValueError(
+                f"xlsx export capped at {cap} rows (XLSX sheet limit); "
+                "use parquet/csv for larger tables"
+            )
         df.toPandas().to_excel(path, index=False)
     else:
         raise ValueError(f"unknown export format: {fmt}")

@@ -7,88 +7,89 @@ whitespace / blank tag) attach to the previous tag; per-(doc, tag) lines are
 ``'---'``-joined and pivoted to one wide row per document; everything except
 ``DI`` is uppercased.
 
-Spark plan: files -> (file, line_no, line) preserving in-file order (via
-``wholeTextFiles``: tagged exports are many small-ish files, so per-file
-parallelism is the natural unit and line order is exact) -> running count of
-``PT `` markers as doc id (window cumulative sum) -> forward-fill tag
-(window ``last(ignorenulls)``) -> groupBy(doc, tag) ordered concat ->
-groupBy(doc) pivot(tag).
+Spark plan: ``wholeTextFiles`` -> split each file at ``PT `` boundaries
+(one row per DOCUMENT, the parallel unit) -> repartition across the cluster
+-> Arrow-batched per-document tag parse (map<tag, '---'-joined values>) ->
+column projection + the isi2df post-processing pass.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql import Window as W
 
 #: structural tags that never become columns
 _STRUCTURAL = ("FN", "VR", "ER", "EF")
 
 
-def read_lines_ordered(spark: SparkSession, path: str) -> DataFrame:
-    """(file, line_no, line) with exact in-file ordering."""
-    rdd = spark.sparkContext.wholeTextFiles(path)
-    lines = rdd.flatMap(
-        lambda kv: [
-            (kv[0], i, ln) for i, ln in enumerate(kv[1].split("\n"))
-        ]
-    )
+def read_wos_tagged(spark: SparkSession, path: str) -> DataFrame:
+    """Parse WoS tagged export(s) into one wide row per document.
+
+    Scale shape (fixes the round-1 single-file serialization): documents are
+    the parallel unit, not files.  ``wholeTextFiles`` splits each file at its
+    ``PT `` boundaries in one cheap string pass (the only per-file serial
+    work), then the rows repartition across the cluster and the per-document
+    tag parse runs as an Arrow-batched map — no window over a whole file, no
+    line-level shuffle, no pivot job.  One 100-GB export parses on every
+    core after the split instead of in one task.
+    """
+    def split_docs(kv):
+        fname, content = kv
+        docs: list[tuple[str, int, list[str]]] = []
+        cur: list[str] | None = None
+        doc_id = 0
+        for ln in content.split("\n"):
+            if len(ln.strip()) <= 1 or ln.startswith(("FN ", "VR ")):
+                continue
+            if ln.startswith("PT "):
+                doc_id += 1
+                cur = []
+                docs.append((fname, doc_id, cur))
+            if cur is not None:
+                cur.append(ln)
+        return docs
+
     schema = T.StructType(
         [
             T.StructField("file", T.StringType(), False),
-            T.StructField("line_no", T.LongType(), False),
-            T.StructField("line", T.StringType(), True),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("lines", T.ArrayType(T.StringType()), False),
         ]
     )
-    return spark.createDataFrame(lines, schema)
+    docs = spark.createDataFrame(
+        spark.sparkContext.wholeTextFiles(path).flatMap(split_docs), schema
+    ).repartition(spark.sparkContext.defaultParallelism, "file", "doc_id")
 
+    @pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def parse_doc(lines: pd.Series) -> pd.Series:
+        def parse(ls) -> dict[str, str]:
+            out: dict[str, list[str]] = {}
+            prev: str | None = None
+            for ln in ls:
+                if ln.startswith("   ") and prev is not None:
+                    tag = prev  # continuation line carries the previous tag
+                else:
+                    tag = ln[:3].strip()
+                prev = tag
+                if tag in _STRUCTURAL:
+                    continue
+                out.setdefault(tag, []).append(ln[3:].strip())
+            return {k: "---".join(v) for k, v in out.items()}
 
-def read_wos_tagged(spark: SparkSession, path: str) -> DataFrame:
-    """Parse WoS tagged export(s) into one wide row per document."""
-    lines = read_lines_ordered(spark, path).filter(F.length("line") > 0)
+        return lines.map(parse)
 
-    w_file = W.partitionBy("file").orderBy("line_no")
-    tagged = (
-        lines.withColumn("head", F.substring("line", 1, 2))
-        .withColumn("rest", F.ltrim(F.substring("line", 4, 1_000_000)))
-        .withColumn(
-            "tag_raw",
-            F.when(F.col("head").rlike("^[A-Z][A-Z0-9] ?$") |
-                   F.col("head").isin(*_STRUCTURAL), F.col("head")).otherwise(F.lit(None)),
-        )
-        # continuation lines ("   more text") carry the previous tag
-        .withColumn("tag", F.last("tag_raw", ignorenulls=True).over(w_file))
-        .withColumn(
-            "value",
-            F.when(F.col("tag_raw").isNotNull(), F.col("rest")).otherwise(
-                F.ltrim("line")
-            ),
-        )
-        .withColumn(
-            "doc_id",
-            F.sum(F.when(F.col("tag_raw") == "PT", 1).otherwise(0)).over(w_file),
-        )
-        .filter(F.col("doc_id") > 0)
-        .filter(~F.col("tag").isin(*_STRUCTURAL) | (F.col("tag") == "ER"))
+    parsed = docs.select("file", "doc_id", parse_doc("lines").alias("tags")).persist()
+    tags = sorted(
+        r["tag"]
+        for r in parsed.select(
+            F.explode(F.map_keys("tags")).alias("tag")
+        ).distinct().collect()
     )
-    # document ends at ER: drop trailing structural rows
-    body = tagged.filter(~F.col("tag").isin(*_STRUCTURAL))
-
-    per_tag = body.groupBy("file", "doc_id", "tag").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("line_no", "value"))),
-                lambda s: s["value"],
-            ),
-            "---",
-        ).alias("val")
-    )
-    tags = [r["tag"] for r in per_tag.select("tag").distinct().collect()]
-    wide = (
-        per_tag.groupBy("file", "doc_id")
-        .pivot("tag", sorted(tags))
-        .agg(F.first("val"))
+    wide = parsed.select(
+        "file", "doc_id", *[F.col("tags").getItem(t).alias(t) for t in tags]
     )
     # reference post-processing (wos2xlsx.py:73-110):
     #   AU/AF/CR: '---' -> ';' (one author / citation per separator)

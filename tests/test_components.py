@@ -71,3 +71,45 @@ def test_long_chain_converges(spark):
     )
     assert out.select("cluster_id").distinct().count() == 1
     assert out.agg(F.min("cluster_id")).first()[0] == 0
+
+
+def test_struct_ids_hi_collision_does_not_merge(spark):
+    """128-bit surrogate contract (pipeline.surrogate_id): two ids whose hi
+    halves collide (adversarial 64-bit collision) are still distinct keys —
+    CC, min-labeling and joins operate on the full struct."""
+    from pyspark.sql import Row
+
+    nid = lambda hi, lo: Row(hi=hi, lo=lo)  # noqa: E731
+    # a<->b connected; c shares a's hi but is isolated
+    a, b, c = nid(1, 1), nid(1, 2), nid(2, 1)
+    nodes = spark.createDataFrame(
+        [(a,), (b,), (c,)], "nid struct<hi:bigint,lo:bigint>"
+    )
+    edges = spark.createDataFrame(
+        [(a, b)],
+        "a_id struct<hi:bigint,lo:bigint>, b_id struct<hi:bigint,lo:bigint>",
+    )
+    out = components.connected_components(edges, nodes, id_col="nid").collect()
+    lab = {tuple(r["nid"]): tuple(r["cluster_id"]) for r in out}
+    assert lab[(1, 1)] == lab[(1, 2)] == (1, 1)
+    assert lab[(2, 1)] == (2, 1)  # hi-collision with a, still its own cluster
+
+
+def test_struct_ids_distributed_cc_path(spark):
+    """Struct keys must survive the distributed large/small-star loop too
+    (driver_threshold=0 forces the iterative path)."""
+    from pyspark.sql import Row
+
+    ids = [Row(hi=i % 3, lo=i) for i in range(12)]  # deliberate hi collisions
+    nodes = spark.createDataFrame([(i,) for i in ids], "nid struct<hi:bigint,lo:bigint>")
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(0, 12, 2)],  # 6 two-node comps
+        "a_id struct<hi:bigint,lo:bigint>, b_id struct<hi:bigint,lo:bigint>",
+    )
+    out = components.connected_components(
+        edges, nodes, id_col="nid", driver_threshold=0
+    ).collect()
+    lab = {tuple(r["nid"]): tuple(r["cluster_id"]) for r in out}
+    for i in range(0, 12, 2):
+        a, b = tuple(ids[i]), tuple(ids[i + 1])
+        assert lab[a] == lab[b] == min(a, b)
