@@ -134,8 +134,11 @@ def main() -> None:
     legs = [CPUS] if FAST else [2, 8, 32]
     order = legs if FAST else [2, 8, 32, 2, 8, 32, 8, 32]
     runs: dict[int, list[dict]] = {c: [] for c in legs}
-    for c in order:
-        runs[c].append(bench_pipeline(c, bench_corpus, repeats=1))
+    for i, c in enumerate(order):
+        r = bench_pipeline(c, bench_corpus, repeats=1)
+        runs[c].append(r)
+        print(f"[bench] leg {i+1}/{len(order)} local[{c}]: wall={r['wall_s']}s "
+              f"kernel={r['kernel_s']}s", file=sys.stderr, flush=True)
 
     def _best(level: int) -> dict:
         rs = runs[level]
@@ -194,12 +197,20 @@ def main() -> None:
         "scaling_pairs": pairs,
     }
 
-    _write_bench_md(result, lo, hi, scaling, pairs)
+    _write_bench_md(result)
     print(json.dumps(result))
     sys.stdout.flush()
 
 
-def _write_bench_md(result, lo, hi, scaling, pairs) -> None:
+def _write_bench_md(result) -> None:
+    """Regenerate BENCH.md from a bench result dict, folding in the
+    host-capability baseline (tools/host_baseline.py) and the per-stage
+    scaling breakdown (tools/stage_breakdown.py) when their JSONs exist."""
+    scaling = {
+        int(k[len("local["):-1]): v for k, v in result["pipeline"].items()
+    }
+    pairs = result.get("scaling_pairs", {})
+    hi = max(scaling)
     lines = [
         "# BENCH — measured results",
         "",
@@ -210,7 +221,7 @@ def _write_bench_md(result, lo, hi, scaling, pairs) -> None:
         "",
         "Each leg best-of-interleaved-repeats; every raw run is listed — this",
         "host shows phase-like throttling (identical runs vary 2-10x; see the",
-        "host-capability sweep below), so minima estimate capability.",
+        "host-capability baseline below), so minima estimate capability.",
         "",
         "| leg | pipeline wall (s) | all runs (s) | turns/sec | kernel stage (s) | kernel turns/sec |",
         "|---|---|---|---|---|---|",
@@ -231,21 +242,64 @@ def _write_bench_md(result, lo, hi, scaling, pairs) -> None:
             )
         lines += [
             "",
-            "local[2]→local[8] is the honest code-scaling pair (the host's",
-            "mp-pool sweep is near-linear to ~8 procs); local[8]→local[32] is",
-            "the driver-instructed N-vs-4N proxy and partially measures the",
-            "VM's ~13-16-effective-core ceiling.",
-            "",
-            "Host capability context (multiprocessing sweep, pure numpy CPU work,",
-            "no Spark): throughput 2→4 procs 2.3x, 4→8 1.4x, 8→16 1.5x, 16→32",
-            "0.96x — the VM's aggregate ceiling is ~13-16 effective cores and its",
-            "memory bandwidth saturates near 4-6 streaming cores, which bounds",
-            "any end-to-end (shuffle-heavy) efficiency measured here. On a real",
-            "multi-executor cluster the shuffle runs on N machines' disks/NICs,",
-            "not one VM's memory bus; the plan-level scale design (partition",
-            "counts, salted hot bands, map-side combine, broadcast dims) is",
-            "what carries the 0.8 target there.",
+            "local[2]→local[8] is the honest code-scaling pair (the host is",
+            "near-linear to ~8 procs — measured below, same kernels, no Spark);",
+            "local[8]→local[32] is the driver-instructed N-vs-4N proxy and",
+            "measures the VM's ~13-16-effective-core aggregate ceiling more",
+            "than the plan.  On a real multi-executor cluster the shuffle runs",
+            "on N machines' disks/NICs, not one VM's memory bus; the plan-level",
+            "scale design (fixed-width 128-bit keys, size-1-bucket pruning,",
+            "salted hot bands, map-side combine, broadcast dims, one blocking",
+            "job per CC round) is what carries the 0.8 target there.",
         ]
+
+    hb_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "data", "host_baseline.json")
+    if os.path.exists(hb_path):
+        hb = json.load(open(hb_path))
+        lines += [
+            "",
+            "## Host-capability baseline (same kernels, multiprocessing, no Spark)",
+            "",
+            f"Workload: {hb['workload']}.",
+            "",
+            "| workers | best (s) | all runs (s) |",
+            "|---|---|---|",
+        ]
+        for n, v in hb["levels"].items():
+            lines.append(f"| {n} | {v['best_s']} | {v['all_runs_s']} |")
+        sp28, sp832 = hb["host_speedup_2_to_8"], hb["host_speedup_8_to_32"]
+        e2e = pairs.get("linear_2_8", {}).get("efficiency")
+        rel = (round(e2e * 4 / sp28, 3) if (e2e and sp28) else None)
+        lines += [
+            "",
+            f"Host speedup 2→8 workers: **{sp28}x** (of 4x ideal); "
+            f"8→32: **{sp832}x** (of 4x).",
+            f"Spark end-to-end speedup relative to what the HOST delivers on the",
+            f"same workload (spark_speedup / host_speedup, 2→8): "
+            f"**{rel if rel is not None else 'n/a'}**.",
+        ]
+
+    sb_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "data", "stage_breakdown.json")
+    if os.path.exists(sb_path):
+        sb = json.load(open(sb_path))
+        lvls = sorted(int(x) for x in sb["levels"])
+        lines += [
+            "",
+            "## Per-stage scaling breakdown",
+            "",
+            "| stage | " + " | ".join(f"local[{c}] best (s)" for c in lvls)
+            + " | speedup |",
+            "|---|" + "---|" * (len(lvls) + 1),
+        ]
+        for stage in sb["levels"][str(lvls[0])]:
+            cells = [str(sb["levels"][str(c)][stage]) for c in lvls]
+            lines.append(
+                f"| {stage} | " + " | ".join(cells)
+                + f" | {sb['speedup_per_stage'].get(stage)} |"
+            )
+
     lines += [
         "",
         "## Headline queries (sf0.1, local[32], fully materialized)",
