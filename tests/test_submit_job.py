@@ -1,0 +1,79 @@
+"""End-to-end deployment-contract test: the pipeline runs via a REAL
+`spark-submit --py-files bibexpy_spark.zip jobs/dedup_job.py` subprocess
+(the north rule's execution mode), writes cluster assignments, and resumes
+from its checkpoint manifests on a second invocation."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_pyfiles_roundtrip(tmp_path):
+    from bibexpy_spark import corpus
+
+    turns_path = corpus.corpus_path_for_sf("/root/testdata/sf0.001")
+    zip_path = str(tmp_path / "bibexpy_spark.zip")
+    out_dir = str(tmp_path / "out")
+    run_dir = str(tmp_path / "warehouse")
+
+    # package the library exactly as a cluster submit would
+    mk = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "dedup_job.py"), "--make-zip"],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=120,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert mk.returncode == 0, mk.stderr[-2000:]
+    assert os.path.exists(zip_path)
+
+    def submit():
+        return subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "dedup_job.py"),
+                "--input", turns_path,
+                "--output", out_dir,
+                "--run-dir", run_dir,
+                "--run-id", "t1",
+                "--no-simhash",
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+
+    r1 = submit()
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    assert "wrote 279 cluster assignments" in (r1.stdout + r1.stderr)
+
+    # clusters parquet is readable and complete
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT conv_id) FROM "
+        f"read_parquet('{out_dir}/clusters/*.parquet')"
+    ).fetchone()
+    assert n[0] == 279 and n[1] == 279
+
+    # second run with the same run-id resumes: every stage manifest is fresh
+    manifests = [
+        f for f in os.listdir(os.path.join(run_dir, "t1"))
+        if f.endswith(".manifest.json")
+    ]
+    assert manifests, "no stage manifests written"
+    r2 = submit()
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    metrics_path = os.path.join(run_dir, "t1", "metrics.jsonl")
+    if os.path.exists(metrics_path):
+        rows = [json.loads(x) for x in open(metrics_path)]
+        assert any(r.get("skipped") for r in rows), "resume did not skip stages"
