@@ -64,7 +64,7 @@ def gram_jaccard_pairs(
     ex = hashed.select("id", F.explode("gh").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("df"))
     with_df = ex.join(freq, "h")
-    rare = with_df.filter(F.col("df") <= df_cap).select("id", "h")
+    rare = with_df.filter(F.col("df") <= df_cap).select("id", "h").persist()
 
     # all-hot fallback (ADVICE r1): a row whose EVERY gram has df > df_cap
     # (>df_cap identical boilerplate copies) would vanish from the index —
@@ -74,14 +74,20 @@ def gram_jaccard_pairs(
     # all-hot rows sharing that rarest gram, not the full df.  Candidates
     # remain a SUPERSET of the rare-gram plan, and phase-2 verification is
     # exact, so correctness vs the all-pairs oracle is unchanged.
+    #
+    # Cost shape: all-hot ids are found by ANTI-joining the id universe
+    # against the (map-side-combined) distinct ids of the rare index — in
+    # the common case (no all-hot rows) the min_by aggregate below runs on
+    # an EMPTY semi-join instead of re-aggregating every exploded gram row.
+    allhot_ids = hashed.select("id").join(
+        rare.select("id").distinct(), "id", "left_anti"
+    )
+    # no forced broadcast: all-hot ids are usually empty but unbounded in the
+    # adversarial case; AQE picks broadcast when the anti-join output is small
     allhot_rarest = (
-        with_df.groupBy("id")
-        .agg(
-            F.min("df").alias("_min_df"),
-            F.min_by("h", F.struct(F.col("df"), F.col("h"))).alias("h"),
-        )
-        .filter(F.col("_min_df") > df_cap)
-        .select("id", "h")
+        with_df.join(allhot_ids, "id")
+        .groupBy("id")
+        .agg(F.min_by("h", F.struct(F.col("df"), F.col("h"))).alias("h"))
     )
     indexed = rare.unionByName(allhot_rarest)
 
