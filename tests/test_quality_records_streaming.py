@@ -125,3 +125,51 @@ def test_fetch_with_retry_gives_up():
 
     assert enrichment.fetch_with_retry(flaky, "10.1/x", retries=3, backoff_s=0) is None
     assert len(calls) == 3
+
+
+def test_streaming_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: duplicates arriving in LATER
+    micro-batches are suppressed by the state store (maxFilesPerTrigger=1
+    forces one batch per file)."""
+    import pandas as pd
+
+    from bibexpy_spark.streaming import stateful
+
+    src = str(tmp_path / "docs")
+    # batch 1: a, b ; batch 2: dup of a + new c ; batch 3: dups of b and c
+    batches = [
+        [("d1", "alpha text"), ("d2", "beta text")],
+        [("d3", "alpha text"), ("d4", "gamma text")],
+        [("d5", "beta text"), ("d6", "gamma text")],
+    ]
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            f"{src}/batch_{i}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful.first_seen_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM first_seen").toPandas()
+    # exactly one non-null rep per distinct content, drawn from its dup group
+    reps = rows[rows.rep_id.notna()]
+    groups = {"alpha": {"d1", "d3"}, "beta": {"d2", "d5"}, "gamma": {"d4", "d6"}}
+    assert len(reps) == 3 and reps.content_sha.is_unique
+    assert all(any(r in g for g in groups.values()) for r in reps.rep_id)
+    # the other 3 arrivals were suppressed by state and counted as dups
+    assert int(rows.n_new_duplicates.sum()) == 3
