@@ -74,3 +74,44 @@ def test_exact_groups_narrow_aggregation(spark):
     signed = udfs.with_signature_columns(d, CANONICAL, text_col="text")
     plan = inspect.explain_formatted(exact.exact_groups(signed))
     assert "Window" not in plan  # narrow agg+join replaced the wide window
+
+
+def test_cosine_lsh_has_no_cartesian(spark):
+    """The cosine scale path must be a bucketed equi-join — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan
+    (e_cosine_dup_pairs is the brute-force oracle and MAY cross-join;
+    e_cosine_lsh must not)."""
+    from bibexpy_spark.entry_queries.training import e_cosine_lsh
+
+    df = e_cosine_lsh(spark, SF)
+    strategies = inspect.join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_apply_splits_broadcasts_assignments(spark):
+    """Split assignments are tiny relative to the record table — the apply
+    join must broadcast them, not shuffle the records."""
+    from bibexpy_spark.operators import entity_blocks as eb
+
+    records = spark.createDataFrame(
+        [("u1", "Zipf A", "Physics", ""), ("u2", "Zipf A", "Biology", "")],
+        ["UID", "AU", "WC", "SC"],
+    )
+    splits = spark.createDataFrame(
+        [("zipf_a", "Zipf A", "zipf a", 1, 1, "(b)", ["u2"], ["biology"])],
+        "split_id string, name string, norm string, tier int, group_idx int,"
+        " suffix string, records array<string>, fields array<string>",
+    )
+    out = eb.apply_author_splits(records, splits, id_col="UID")
+    assert "BroadcastHashJoin" in inspect.join_strategies(out)
+
+
+def test_ngram_index_no_cartesian(spark):
+    from bibexpy_spark.operators import ngram
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = ngram.gram_jaccard_pairs(d, "doc_id", "text", 3, 1, 2)
+    strategies = inspect.join_strategies(pairs)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
