@@ -133,8 +133,21 @@ def main() -> None:
     # estimate capability.
     legs = [CPUS] if FAST else [2, 8, 32]
     order = legs if FAST else [2, 8, 32, 2, 8, 32, 8, 32]
+    # soft wall-clock budget: the host's throttle phases can stretch one leg
+    # past 10 minutes; once every level has at least one run, further repeats
+    # are skipped when the budget is exhausted (coverage never degrades,
+    # only repeat depth)
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+    t_start = time.time()
     runs: dict[int, list[dict]] = {c: [] for c in legs}
     for i, c in enumerate(order):
+        if (
+            time.time() - t_start > budget_s
+            and all(runs[x] for x in legs)
+        ):
+            print(f"[bench] budget {budget_s}s exhausted — skipping leg "
+                  f"{i+1}/{len(order)} local[{c}]", file=sys.stderr, flush=True)
+            continue
         r = bench_pipeline(c, bench_corpus, repeats=1)
         runs[c].append(r)
         print(f"[bench] leg {i+1}/{len(order)} local[{c}]: wall={r['wall_s']}s "
