@@ -208,6 +208,94 @@ def e_knn_bruteforce(spark, sf_dir, k: int = 5, n_queries: int = 10):
     )
 
 
+def e_ivf_ann(spark, sf_dir, k: int = 5, n_queries: int = 10,
+              n_cells: int = 16, n_probe: int = 4, seed: int = 7):
+    """IVF-style ANN (the brief's 'IVF variant as the scale path'):
+
+      coarse quantizer   n_cells centroids = a SEEDED deterministic sample
+                         of the corpus vectors (a valid IVF quantizer and —
+                         unlike k-means — bit-reproducible by the golden
+                         oracle); every vector is assigned to its nearest
+                         centroid by cosine (ties: lowest centroid index)
+      probe              each query searches the n_probe nearest cells only
+      rank               exact cosine inside the probed cells, ROUND(cos,4)
+                         with cand_id tie-break
+
+    Scale shape: the inverted file is an equi-join on cell id — candidate
+    volume is n*n_probe/n_cells per query instead of n; centroids ship as a
+    broadcast closure (k x dim floats).  Recall/probe tradeoff measured in
+    pytest vs brute force.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    all_ids = sorted(r["vec_id"] for r in e.select("vec_id").collect())
+    rng = np.random.default_rng(seed)
+    centroid_ids = sorted(rng.choice(all_ids, size=n_cells, replace=False).tolist())
+    cent_rows = (
+        e.filter(F.col("vec_id").isin(centroid_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in sorted(cent_rows, key=lambda r: r["vec_id"])]
+    )
+    cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ cent_unit.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_udf(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cent_unit.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32") for row in np.sort(order, axis=1)])
+
+    cands = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        cell_udf("embedding").alias("cell"),
+    )
+    queries = (
+        e.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probe_udf("embedding")).alias("cell"),
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    j = queries.join(cands, "cell").filter(F.col("query_id") != F.col("cand_id"))
+    j = j.withColumn(
+        "cos",
+        F.round(
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / (
+                F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+                * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+            ),
+            4,
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
 def e_lsh_ann(spark, sf_dir, k: int = 5, n_queries: int = 10,
               n_planes: int = 4, n_tables: int = 8):
     """Multi-table random-hyperplane LSH ANN: L tables of p planes each;
@@ -387,6 +475,7 @@ QUERIES = {
     "d_fingerprint": d_fingerprint,
     "e_knn_bruteforce": e_knn_bruteforce,
     "e_lsh_ann": e_lsh_ann,
+    "e_ivf_ann": e_ivf_ann,
 }
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
@@ -513,6 +602,7 @@ ORACLES.update(
         "d_minhash_lsh_pairs": _golden.oracle_sql_for("d_minhash_lsh_pairs"),
         "d_simhash": _golden.oracle_sql_for("d_simhash"),
         "e_lsh_ann": _golden.oracle_sql_for("e_lsh_ann"),
+        "e_ivf_ann": _golden.oracle_sql_for("e_ivf_ann"),
         "e_cosine_lsh": _golden.oracle_sql_for("e_cosine_lsh"),
     }
 )

@@ -49,7 +49,7 @@ from bibexpy_spark.functions import c1_address as c1
 from bibexpy_spark.functions.bibex_norms import jaro_winkler
 
 EXPECTED_DIR = "/root/repo/data/expected"
-GOLDEN_VERSION = "r2-v1"
+GOLDEN_VERSION = "r2-v2"
 SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 DATA_DIR = "/root/repo/data"
 
@@ -319,7 +319,44 @@ def build_embedding_goldens() -> dict[str, pd.DataFrame]:
     lsh_pairs = pd.DataFrame(
         sorted(prows), columns=["a_id", "b_id", "cos"]
     )
-    return {"e_lsh_ann": ann, "e_cosine_lsh": lsh_pairs}
+
+    # e_ivf_ann: seeded sampled-centroid IVF, n_cells=16, n_probe=4, k=5
+    n_cells, n_probe, seed = 16, 4, 7
+    rng2 = np.random.default_rng(seed)
+    sorted_ids = sorted(int(v) for v in vec_ids)
+    centroid_ids = sorted(
+        rng2.choice(sorted_ids, size=n_cells, replace=False).tolist()
+    )
+    id_to_idx = {int(v): i for i, v in enumerate(vec_ids)}
+    cent = np.stack([m[id_to_idx[c]] for c in centroid_ids])
+    cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    m_unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cells = np.argmax(m_unit @ cent_unit.T, axis=1)
+    sims_c = m_unit @ cent_unit.T
+    probe = np.sort(
+        np.argsort(-sims_c, axis=1, kind="stable")[:, :n_probe], axis=1
+    )
+    irows = []
+    for qi in range(n):
+        if vec_ids[qi] >= 10:
+            continue
+        probed = set(probe[qi].tolist())
+        for ci in range(n):
+            if ci == qi or int(cells[ci]) not in probed:
+                continue
+            cos = _seq_dot(m[qi], m[ci]) / (
+                np.sqrt(_seq_dot(m[qi], m[qi])) * np.sqrt(_seq_dot(m[ci], m[ci]))
+            )
+            irows.append((int(vec_ids[qi]), int(vec_ids[ci]), _spark_round(cos)))
+    idf = pd.DataFrame(irows, columns=["query_id", "cand_id", "cos"])
+    idf = idf.sort_values(
+        ["query_id", "cos", "cand_id"], ascending=[True, False, True]
+    )
+    idf["rank"] = idf.groupby("query_id").cumcount() + 1
+    ivf = idf[idf["rank"] <= 5].reset_index(drop=True)
+    ivf["rank"] = ivf["rank"].astype(np.int32)
+
+    return {"e_lsh_ann": ann, "e_cosine_lsh": lsh_pairs, "e_ivf_ann": ivf}
 
 
 # ---------------------------------------------------------------------------

@@ -77,3 +77,27 @@ def test_cosine_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.99, f"cosine-LSH recall {recall}"
     # precision is exact: every emitted pair is verified by true cosine
     assert lsh_set <= bf_set
+
+
+def test_ivf_ann_recall_and_probe_tradeoff(spark):
+    """IVF ANN (sampled-centroid coarse quantizer): recall vs brute force at
+    the default probe width, and MORE probes -> recall never decreases (the
+    IVF contract).  This fixture's neighbors sit at cos 0.3-0.45 — barely
+    above the noise floor — so cell locality is weak by construction; on a
+    clustered corpus the same operator concentrates neighbors per cell."""
+    bf = training.e_knn_bruteforce(spark, SF).toPandas()
+    bf_set = set(zip(bf.query_id, bf.cand_id))
+
+    ivf4 = training.e_ivf_ann(spark, SF).toPandas()
+    s4 = set(zip(ivf4.query_id, ivf4.cand_id))
+    r4 = len(bf_set & s4) / len(bf_set)
+    assert r4 >= 0.45, f"IVF recall collapsed: {r4}"
+
+    ivf8 = training.e_ivf_ann(spark, SF, n_probe=8).toPandas()
+    s8 = set(zip(ivf8.query_id, ivf8.cand_id))
+    r8 = len(bf_set & s8) / len(bf_set)
+    assert r8 >= r4  # wider probe never loses recall
+
+    # exactness inside probed cells: reported cos equals brute-force cos
+    merged = ivf4.merge(bf, on=["query_id", "cand_id"], suffixes=("_i", "_b"))
+    assert (merged.cos_i == merged.cos_b).all()
