@@ -210,7 +210,10 @@ def main() -> None:
         "scaling_pairs": pairs,
     }
 
-    _write_bench_md(result)
+    if not FAST:
+        # a FAST smoke (single leg, no scaling pairs) must not clobber the
+        # committed full-run BENCH.md (code-review r2 finding)
+        _write_bench_md(result)
     print(json.dumps(result))
     sys.stdout.flush()
 

@@ -209,7 +209,7 @@ def e_knn_bruteforce(spark, sf_dir, k: int = 5, n_queries: int = 10):
 
 
 def e_ivf_ann(spark, sf_dir, k: int = 5, n_queries: int = 10,
-              n_cells: int = 16, n_probe: int = 4, seed: int = 7):
+              n_cells: int = 16, n_probe: int = 6, seed: int = 7):
     """IVF-style ANN (the brief's 'IVF variant as the scale path'):
 
       coarse quantizer   n_cells centroids = a SEEDED deterministic sample
@@ -227,12 +227,17 @@ def e_ivf_ann(spark, sf_dir, k: int = 5, n_queries: int = 10,
     pytest vs brute force.
     """
     e = _t(spark, sf_dir, "embeddings")
-    all_ids = sorted(r["vec_id"] for r in e.select("vec_id").collect())
-    rng = np.random.default_rng(seed)
-    centroid_ids = sorted(rng.choice(all_ids, size=n_cells, replace=False).tolist())
+    # deterministic DISTRIBUTED centroid sample: the n_cells rows with the
+    # smallest sha2(seed || vec_id) — a seeded uniform sample computed as a
+    # top-k (only k rows ever reach the driver; no full-id collect), and
+    # reproducible bit-for-bit by the golden oracle via hashlib
     cent_rows = (
-        e.filter(F.col("vec_id").isin(centroid_ids))
-        .select("vec_id", "embedding")
+        e.select("vec_id", "embedding")
+        .withColumn(
+            "_h", F.sha2(F.concat_ws("#", F.lit(str(seed)), F.col("vec_id")), 256)
+        )
+        .orderBy("_h")
+        .limit(n_cells)
         .collect()
     )
     cent = np.stack(

@@ -49,7 +49,7 @@ from bibexpy_spark.functions import c1_address as c1
 from bibexpy_spark.functions.bibex_norms import jaro_winkler
 
 EXPECTED_DIR = "/root/repo/data/expected"
-GOLDEN_VERSION = "r2-v2"
+GOLDEN_VERSION = "r2-v4"
 SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 DATA_DIR = "/root/repo/data"
 
@@ -321,11 +321,15 @@ def build_embedding_goldens() -> dict[str, pd.DataFrame]:
     )
 
     # e_ivf_ann: seeded sampled-centroid IVF, n_cells=16, n_probe=4, k=5
-    n_cells, n_probe, seed = 16, 4, 7
-    rng2 = np.random.default_rng(seed)
-    sorted_ids = sorted(int(v) for v in vec_ids)
+    # centroid sample = n_cells smallest sha2(seed || vec_id) — the exact
+    # distributed top-k the query computes
+    n_cells, n_probe, seed = 16, 6, 7
+    hashes = {
+        int(v): hashlib.sha256(f"{seed}#{int(v)}".encode()).hexdigest()
+        for v in vec_ids
+    }
     centroid_ids = sorted(
-        rng2.choice(sorted_ids, size=n_cells, replace=False).tolist()
+        sorted(hashes, key=lambda v: hashes[v])[:n_cells]
     )
     id_to_idx = {int(v): i for i, v in enumerate(vec_ids)}
     cent = np.stack([m[id_to_idx[c]] for c in centroid_ids])

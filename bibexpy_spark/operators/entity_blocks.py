@@ -316,22 +316,28 @@ def apply_author_splits(
     au_col: str = "AU",
 ) -> DataFrame:
     """Rewrite AU cells per approved split groups (apply_splits,
-    pipeline.py:884-975): in each affected record, the author token whose
-    whitespace-normalized form equals the split name gets ``name (suffix)``.
-    Plain groups (suffix '') are untouched.
+    pipeline.py:884-975): in each affected record, every author token whose
+    NORMALIZED form equals the split's norm gets the suffix appended to its
+    ORIGINAL spelling (``token (b)``).  Plain groups (suffix '') untouched.
 
-    Distributed shape: explode (record, name, suffix) assignments from the
+    Matching by norm (not the whitespace-normalized raw, which the reference
+    uses) closes a silent-partial-apply hole: the proposal groups records by
+    norm, so a record carrying a differently-punctuated spelling ('SMITH, J'
+    vs 'SMITH J') is still rewritten; preserving the original spelling keeps
+    the rewrite idempotent and lossless.
+
+    Distributed shape: explode (record, norm, suffix) assignments from the
     proposals, join to records on id (the assignment side is tiny ->
     broadcast), rewrite in one Arrow batch pass.
     """
     assign = (
         splits.filter(F.col("suffix") != "")
         .select(
-            "name", "suffix", F.explode("records").alias("record_id")
+            "norm", "suffix", F.explode("records").alias("record_id")
         )
         .groupBy("record_id")
         .agg(
-            F.collect_list(F.struct("name", "suffix")).alias("_splits")
+            F.collect_list(F.struct("norm", "suffix")).alias("_splits")
         )
     )
     joined = records.join(
@@ -340,8 +346,14 @@ def apply_author_splits(
         "left",
     ).drop("record_id")
 
-    def _nkey(s: str) -> str:
-        return re.sub(r"\s+", " ", str(s or "")).strip().lower()
+    def _norm(s: str) -> str:
+        import unicodedata
+
+        t = unicodedata.normalize("NFKD", str(s or "")).encode(
+            "ascii", "ignore"
+        ).decode("ascii").lower()
+        t = re.sub(r"[^a-z0-9]+", " ", t)
+        return re.sub(r"\s+", " ", t).strip()
 
     @F.pandas_udf(T.StringType())
     def rewrite(au: pd.Series, splits_col: pd.Series) -> pd.Series:
@@ -350,11 +362,13 @@ def apply_author_splits(
             if spl is None or len(spl) == 0 or cell is None:
                 out.append(cell)
                 continue
-            bykey = {_nkey(s["name"]): f'{s["name"]} {s["suffix"]}' for s in spl}
-            parts = str(cell).split(";")
-            out.append(
-                ";".join(bykey.get(_nkey(p), p.strip()) for p in parts)
-            )
+            bynorm = {s["norm"]: s["suffix"] for s in spl}
+            parts = [p.strip() for p in str(cell).split(";")]
+            new = []
+            for p in parts:
+                sfx = bynorm.get(_norm(p))
+                new.append(f"{p} {sfx}" if sfx else p)
+            out.append(";".join(new))
         return pd.Series(out)
 
     return joined.withColumn(au_col, rewrite(F.col(au_col), F.col("_splits"))).drop(

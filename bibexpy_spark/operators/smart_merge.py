@@ -367,19 +367,44 @@ def decide_borderline(
     )
     accepted = judged.filter(F.col("effective") == "accept")
 
-    drop_keys = (
-        accepted.select(F.lower(F.trim(F.col("sDI"))).alias("_drop_di"))
-        .filter(F.col("_drop_di").isNotNull() & (F.col("_drop_di") != ""))
-        .distinct()
-    )
-    new_dataset = dataset.join(
-        F.broadcast(drop_keys),
-        F.lower(F.trim(dataset["DI"])) == drop_keys["_drop_di"],
-        "left_anti",
-    )
-    audit = judged.select(
-        "w_id", "s_id", "decision", "doi_guarded", "effective"
-    )
+    if "_row_id" in dataset.columns:
+        # exact row identity: drop the accepted Scopus ROW (never collateral
+        # — a merged row that inherited the same DOI survives).  Improvement
+        # over the reference's DOI-keyed drop, which both no-ops on
+        # DOI-less Scopus rows and can delete a merged row sharing the DOI.
+        drop_keys = accepted.select(F.col("s_id").alias("_drop_key")).distinct()
+        new_dataset = dataset.join(
+            F.broadcast(drop_keys),
+            dataset["_row_id"] == drop_keys["_drop_key"],
+            "left_anti",
+        )
+        applied_expr = F.lit(True)
+    else:
+        # reference-parity fallback (smart_merger.py:952-963): drop by the
+        # Scopus DOI; DOI-less accepts cannot be applied and are audited as
+        # 'accept_noop', never silently claimed as applied.
+        drop_keys = (
+            accepted.select(F.lower(F.trim(F.col("sDI"))).alias("_drop_di"))
+            .filter(F.col("_drop_di").isNotNull() & (F.col("_drop_di") != ""))
+            .distinct()
+        )
+        new_dataset = dataset.join(
+            F.broadcast(drop_keys),
+            F.lower(F.trim(dataset["DI"])) == drop_keys["_drop_di"],
+            "left_anti",
+        )
+        applied_expr = (
+            F.col("sDI").isNotNull() & (F.trim(F.col("sDI")) != "")
+            if "sDI" in judged.columns
+            else F.lit(False)
+        )
+    audit = judged.withColumn(
+        "effective",
+        F.when(
+            (F.col("effective") == "accept") & ~applied_expr,
+            F.lit("accept_noop"),
+        ).otherwise(F.col("effective")),
+    ).select("w_id", "s_id", "decision", "doi_guarded", "effective")
     if table is not None:
         table.write(new_dataset)
     return {"dataset": new_dataset, "audit": audit, "accepted": accepted}

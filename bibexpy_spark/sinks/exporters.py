@@ -173,7 +173,7 @@ def export(df: DataFrame, path: str, fmt: str) -> None:
         # single-file spreadsheet = driver-collected by contract (the
         # reference writes one merged.xlsx); cap the collect so a mistargeted
         # 100-TB table errors instead of OOMing the driver
-        cap = 1_048_576  # the XLSX format's own row ceiling
+        cap = 1_048_575  # XLSX sheet ceiling (1,048,576) minus the header row
         n = df.limit(cap + 1).count()
         if n > cap:
             raise ValueError(

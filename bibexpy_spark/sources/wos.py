@@ -33,8 +33,12 @@ def read_wos_tagged(spark: SparkSession, path: str) -> DataFrame:
     ``PT `` boundaries in one cheap string pass (the only per-file serial
     work), then the rows repartition across the cluster and the per-document
     tag parse runs as an Arrow-batched map — no window over a whole file, no
-    line-level shuffle, no pivot job.  One 100-GB export parses on every
-    core after the split instead of in one task.
+    line-level shuffle, no pivot job.  The per-file split is the serial
+    unit: ``wholeTextFiles`` materializes one file per task, so this path
+    suits the many-medium-files shape of real WoS exports (and is bounded
+    by the JVM's ~2 GB single-string limit for one file); for one huge
+    export use ``read_wos_tagged_splittable`` below, which splits the file
+    itself at PT record boundaries via the Hadoop record delimiter.
     """
     def split_docs(kv):
         fname, content = kv
@@ -42,6 +46,8 @@ def read_wos_tagged(spark: SparkSession, path: str) -> DataFrame:
         cur: list[str] | None = None
         doc_id = 0
         for ln in content.split("\n"):
+            # reference parity (wos2xlsx.py:23 drops len(strip)<=1 lines):
+            # single-char continuation fragments are discarded by isi2df too
             if len(ln.strip()) <= 1 or ln.startswith(("FN ", "VR ")):
                 continue
             if ln.startswith("PT "):
@@ -62,6 +68,12 @@ def read_wos_tagged(spark: SparkSession, path: str) -> DataFrame:
     docs = spark.createDataFrame(
         spark.sparkContext.wholeTextFiles(path).flatMap(split_docs), schema
     ).repartition(spark.sparkContext.defaultParallelism, "file", "doc_id")
+    return _docs_to_wide(spark, docs)
+
+
+def _docs_to_wide(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(file, doc_id, lines) -> one wide row per document: Arrow-batched tag
+    parse + the isi2df post-processing pass (shared by both readers)."""
 
     @pandas_udf(T.MapType(T.StringType(), T.StringType()))
     def parse_doc(lines: pd.Series) -> pd.Series:
@@ -123,6 +135,67 @@ def read_wos_tagged(spark: SparkSession, path: str) -> DataFrame:
         if c not in ("file", "doc_id", "DI"):
             wide = wide.withColumn(c, F.upper(F.col(c)))
     return wide
+
+
+def read_wos_tagged_splittable(spark: SparkSession, path: str) -> DataFrame:
+    """Parse ONE huge WoS export with the file itself split across tasks.
+
+    ``wholeTextFiles`` (read_wos_tagged) holds a whole file in one task —
+    fine for the many-medium-files shape, impossible for a single multi-GB
+    export (JVM ~2 GB string ceiling).  This variant sets the Hadoop record
+    delimiter to ``"\\nPT "`` so each input-format RECORD is one document
+    and the file splits at HDFS-block granularity; documents then parse with
+    the exact same per-document logic and post-processing.
+
+    ``doc_id`` is the document ordinal within the file (zipWithIndex over
+    the in-file record order — Hadoop text splits preserve it); ``file`` is
+    the constant input path, matching read_wos_tagged's single-file output.
+    """
+    conf = {"textinputformat.record.delimiter": "\nPT "}
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+        conf=conf,
+    ).map(lambda kv: kv[1])
+
+    fname = "file:" + path if not path.startswith("file:") else path
+
+    # record 0 is the FN/VR preamble (before the first "\nPT ") unless the
+    # file starts directly with "PT " — sniff once on the driver (reads only
+    # the first split) so doc ids stay 1-based either way
+    has_preamble = not rdd.first().startswith("PT ")
+
+    def to_docs(pair):
+        chunk, idx = pair
+        if idx == 0:
+            if has_preamble:
+                return []
+            text, doc_id = chunk, 1
+        else:
+            # records > 0 lost their "PT " prefix to the delimiter
+            text = "PT " + chunk
+            doc_id = idx if has_preamble else idx + 1
+        lines = [
+            ln
+            for ln in text.split("\n")
+            if len(ln.strip()) > 1 and not ln.startswith(("FN ", "VR "))
+        ]
+        return [(fname, doc_id, lines)]
+
+    docs_rdd = rdd.zipWithIndex().flatMap(to_docs)
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("lines", T.ArrayType(T.StringType()), False),
+        ]
+    )
+    docs = spark.createDataFrame(docs_rdd, schema).repartition(
+        spark.sparkContext.defaultParallelism, "file", "doc_id"
+    )
+    return _docs_to_wide(spark, docs)
 
 
 # ---------------------------------------------------------------------------

@@ -212,3 +212,70 @@ def test_decide_borderline_doi_guard(spark):
     assert out["dataset"].count() == 1        # nothing dropped
     audit = out["audit"].first()
     assert audit["doi_guarded"] and audit["effective"] == "blocked"
+
+
+def test_apply_splits_covers_all_spellings(spark):
+    """Norm-matched rewrite (code-review r2 finding): a record whose token is
+    spelled differently ('Smith, J' vs 'Smith J') must still get its suffix,
+    with its ORIGINAL spelling preserved."""
+    rows = [
+        ("u1", "Smith J", "Physics", ""),
+        ("u2", "Smith, J", "Physics", ""),
+        ("u3", "Smith J.", "Biology", ""),
+    ]
+    df = spark.createDataFrame(rows, ["UID", "AU", "WC", "SC"])
+    splits = eb.author_split_proposals(df)
+    zipf = splits.toPandas()
+    assert len(zipf) == 2  # one 2-group split on norm 'smith j'
+    out = eb.apply_author_splits(df, splits, id_col="UID").toPandas()
+    by_uid = dict(zip(out["UID"], out["AU"]))
+    # biology singleton gets the suffix regardless of which group is largest
+    suffixed = [v for v in by_uid.values() if "(b)" in v]
+    assert len(suffixed) == 1
+    assert by_uid["u3"] == "Smith J. (b)"  # original spelling kept
+
+
+def test_decide_borderline_row_identity_drop(spark):
+    """With _row_id in the dataset, accept drops the exact Scopus ROW — a
+    DOI-less Scopus row still applies, and a merged row sharing the DOI is
+    never collateral (code-review r2 finding)."""
+    import pandas as pd
+
+    borderline = spark.createDataFrame(
+        pd.DataFrame(
+            [{"w_id": "w1", "s_id": "s1", "confidence": 0.8, "_title_jw": 0.85,
+              "wTI": "a", "sTI": "b", "wDI": "", "sDI": ""}]
+        )
+    )
+    dataset = spark.createDataFrame(
+        [("w1", "keep wos", ""), ("s1", "drop scopus", ""),
+         ("m1", "merged row", "10.1/shared")],
+        ["_row_id", "TI", "DI"],
+    )
+    decisions = spark.createDataFrame(
+        [("w1", "s1", "accept")], ["w_id", "s_id", "decision"]
+    )
+    out = sm.decide_borderline(dataset, borderline, decisions)
+    left = {r["_row_id"] for r in out["dataset"].collect()}
+    assert left == {"w1", "m1"}  # exactly the Scopus row dropped
+    assert out["audit"].first()["effective"] == "accept"
+
+
+def test_decide_borderline_doiless_noop_audited(spark):
+    """DOI-keyed fallback (no _row_id): a DOI-less accept cannot apply and
+    must be audited as accept_noop, never silently claimed."""
+    import pandas as pd
+
+    borderline = spark.createDataFrame(
+        pd.DataFrame(
+            [{"w_id": "w1", "s_id": "s1", "confidence": 0.8, "_title_jw": 0.85,
+              "wTI": "a", "sTI": "b", "wDI": "", "sDI": ""}]
+        )
+    )
+    dataset = spark.createDataFrame([("x", "10.9/z")], ["TI", "DI"])
+    decisions = spark.createDataFrame(
+        [("w1", "s1", "accept")], ["w_id", "s_id", "decision"]
+    )
+    out = sm.decide_borderline(dataset, borderline, decisions)
+    assert out["dataset"].count() == 1
+    assert out["audit"].first()["effective"] == "accept_noop"

@@ -121,3 +121,16 @@ def test_export_dispatch(records_df, tmp_path):
     assert os.path.isdir(str(tmp_path / "c"))
     with pytest.raises(ValueError):
         exporters.export(records_df, str(tmp_path / "z"), "nope")
+
+
+def test_wos_splittable_reader_matches_wholefile(spark, tmp_path_factory):
+    """The record-delimiter reader (single huge export path) must produce
+    EXACTLY the same wide table as the wholeTextFiles reader."""
+    path = str(tmp_path_factory.mktemp("wos_split") / "sample.txt")
+    wos.write_sample_wos(path, n_docs=25)
+    a = wos.read_wos_tagged(spark, path).toPandas().sort_values("doc_id")
+    b = wos.read_wos_tagged_splittable(spark, path).toPandas().sort_values("doc_id")
+    assert sorted(a.columns) == sorted(b.columns)
+    a = a[sorted(a.columns)].reset_index(drop=True)
+    b = b[sorted(b.columns)].reset_index(drop=True)
+    assert a.equals(b)
