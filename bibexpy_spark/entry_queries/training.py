@@ -165,6 +165,38 @@ def d_fingerprint(spark, sf_dir):
     )
 
 
+def d_rolling_fingerprint(spark, sf_dir, k_chars: int = 7, window: int = 4):
+    """Winnowed rolling-hash document fingerprints (the brief's 'document
+    fingerprinting (rolling hash)'): per doc, the count / min / max / xor of
+    its winnowing fingerprint set.  Any two docs sharing a substring of
+    length >= window + k_chars - 1 share a fingerprint (kernels.
+    rolling_fingerprints); this compact projection is the per-doc sketch —
+    the pairwise overlap join is an equi-join on exploded fingerprints,
+    same shape as the gram index."""
+    from bibexpy_spark.functions import kernels as _k
+
+    d = _t(spark, sf_dir, "documents")
+    norm, _ = _norm_tokens()
+
+    @F.pandas_udf("n_fps bigint, fp_min bigint, fp_max bigint, fp_xor bigint")
+    def sketch(texts: pd.Series) -> pd.DataFrame:
+        fps = _k.rolling_fingerprints(texts, k_chars, window)
+        return pd.DataFrame(
+            {
+                "n_fps": [len(f) for f in fps],
+                "fp_min": [int(f.min().view(np.int64)) for f in fps],
+                "fp_max": [int(f.max().view(np.int64)) for f in fps],
+                "fp_xor": [
+                    int(np.bitwise_xor.reduce(f).view(np.int64)) for f in fps
+                ],
+            }
+        )
+
+    return d.select("doc_id", sketch(norm).alias("s")).select(
+        "doc_id", "s.n_fps", "s.fp_min", "s.fp_max", "s.fp_xor"
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search family
 # ---------------------------------------------------------------------------
@@ -478,6 +510,7 @@ QUERIES = {
     "d_quality_score": d_quality_score,
     "d_token_count": d_token_count,
     "d_fingerprint": d_fingerprint,
+    "d_rolling_fingerprint": d_rolling_fingerprint,
     "e_knn_bruteforce": e_knn_bruteforce,
     "e_lsh_ann": e_lsh_ann,
     "e_ivf_ann": e_ivf_ann,
@@ -606,6 +639,7 @@ ORACLES.update(
     {
         "d_minhash_lsh_pairs": _golden.oracle_sql_for("d_minhash_lsh_pairs"),
         "d_simhash": _golden.oracle_sql_for("d_simhash"),
+        "d_rolling_fingerprint": _golden.oracle_sql_for("d_rolling_fingerprint"),
         "e_lsh_ann": _golden.oracle_sql_for("e_lsh_ann"),
         "e_ivf_ann": _golden.oracle_sql_for("e_ivf_ann"),
         "e_cosine_lsh": _golden.oracle_sql_for("e_cosine_lsh"),

@@ -49,7 +49,7 @@ from bibexpy_spark.functions import c1_address as c1
 from bibexpy_spark.functions.bibex_norms import jaro_winkler
 
 EXPECTED_DIR = "/root/repo/data/expected"
-GOLDEN_VERSION = "r2-v4"
+GOLDEN_VERSION = "r2-v5"
 SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 DATA_DIR = "/root/repo/data"
 
@@ -233,7 +233,30 @@ def build_document_goldens() -> dict[str, pd.DataFrame]:
     simhash = pd.DataFrame(
         {"doc_id": d["doc_id"], "simhash": kernels.simhash64(norm, cfg)}
     )
-    return {"d_minhash_lsh_pairs": lsh_pairs, "d_simhash": simhash}
+
+    # d_rolling_fingerprint: SQL-style normalization (the query's
+    # _norm_tokens), then the shared winnowing kernel
+    sql_norm = (
+        d["text"].fillna("").astype(str).str.lower()
+        .str.replace(r"[^a-z0-9]+", " ", regex=True).str.strip()
+    )
+    fps = kernels.rolling_fingerprints(sql_norm)
+    rolling = pd.DataFrame(
+        {
+            "doc_id": d["doc_id"],
+            "n_fps": np.array([len(f) for f in fps], dtype=np.int64),
+            "fp_min": np.array([f.min() for f in fps], dtype=np.uint64).view(np.int64),
+            "fp_max": np.array([f.max() for f in fps], dtype=np.uint64).view(np.int64),
+            "fp_xor": np.array(
+                [np.bitwise_xor.reduce(f) for f in fps], dtype=np.uint64
+            ).view(np.int64),
+        }
+    )
+    return {
+        "d_minhash_lsh_pairs": lsh_pairs,
+        "d_simhash": simhash,
+        "d_rolling_fingerprint": rolling,
+    }
 
 
 # ---------------------------------------------------------------------------
