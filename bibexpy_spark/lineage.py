@@ -112,6 +112,24 @@ class RunContext:
         self._log(stage, rows=rows, wall_s=time.time() - t0, skipped=False)
         return out
 
+    def _partition_lineage(self, stage: str) -> list[dict[str, Any]]:
+        """Per-partition lineage of the written stage table (north rule:
+        'every stage writes per-partition lineage'): one entry per output
+        part-file with its size — the Iceberg-manifest-entry analogue in the
+        parquet fallback (Iceberg proper records the same per-data-file
+        stats in its manifests)."""
+        path = self._table_path(stage)
+        out = []
+        try:
+            for fn in sorted(os.listdir(path)):
+                if fn.startswith("part-"):
+                    out.append(
+                        {"file": fn, "bytes": os.path.getsize(os.path.join(path, fn))}
+                    )
+        except OSError:
+            pass
+        return out
+
     def _write_manifest(self, stage: str, rows: int, wall_s: float) -> None:
         os.makedirs(self.run_dir, exist_ok=True)
         manifest = {
@@ -122,6 +140,7 @@ class RunContext:
             "rows": rows,
             "wall_s": round(wall_s, 3),
             "completed_at": time.time(),
+            "partitions": self._partition_lineage(stage),
         }
         tmp = self._manifest_path(stage) + ".tmp"
         with open(tmp, "w") as f:

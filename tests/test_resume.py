@@ -91,3 +91,32 @@ def test_input_token_fingerprints_files(tmp_path):
     p.write_bytes(b"abcd")
     t2 = input_token_for_paths(str(p))
     assert t1 != t2
+
+
+def test_manifests_carry_partition_lineage(spark, tmp_path):
+    """North rule: every stage writes per-partition lineage — each stage
+    manifest lists its output part-files with sizes."""
+    import json
+    import os
+
+    from bibexpy_spark import corpus, pipeline
+    from bibexpy_spark.config import CANONICAL
+    from bibexpy_spark.lineage import RunContext, input_token_for_paths
+
+    src = corpus.corpus_path_for_sf("/root/testdata/sf0.001")
+    run = RunContext(
+        spark, cfg=CANONICAL, warehouse=str(tmp_path), run_id="pl",
+        input_token=input_token_for_paths(src),
+    )
+    pipeline.run_dedup(
+        spark, spark.read.parquet(src), run=run,
+        with_containment=False, with_simhash_pass=False,
+    )
+    manifests = [
+        f for f in os.listdir(run.run_dir) if f.endswith(".manifest.json")
+    ]
+    assert manifests
+    for mf in manifests:
+        m = json.load(open(os.path.join(run.run_dir, mf)))
+        assert m["partitions"], f"{mf} has no partition lineage"
+        assert all(p["bytes"] > 0 for p in m["partitions"])
