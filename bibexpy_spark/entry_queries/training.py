@@ -197,6 +197,40 @@ def d_rolling_fingerprint(spark, sf_dir, k_chars: int = 7, window: int = 4):
     )
 
 
+def d_winnow_overlap_pairs(spark, sf_dir, k_chars: int = 7, window: int = 4,
+                           min_shared: int = 20, df_cap: int = 50):
+    """Substring-overlap detection via winnowed fingerprints: pairs of docs
+    sharing >= min_shared fingerprints (each shared fp witnesses a >= w+k-1
+    char common substring).  Plan shape = the gram index: explode fps,
+    df-cap the ubiquitous ones (common-phrase fps would generate O(df^2)
+    pairs), equi-join, count per pair — no cartesian anywhere.  The df-cap
+    makes this a detector, not an exact top-overlap ranking; the cap and
+    threshold are explicit knobs and the golden oracle applies the same."""
+    from bibexpy_spark.functions import kernels as _k
+
+    d = _t(spark, sf_dir, "documents")
+    norm, _ = _norm_tokens()
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def fps_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [f.view(np.int64) for f in _k.rolling_fingerprints(texts, k_chars, window)]
+        )
+
+    ex = d.select("doc_id", F.explode(fps_udf(norm)).alias("fp"))
+    freq = ex.groupBy("fp").agg(F.count("*").alias("df"))
+    rare = ex.join(freq.filter(F.col("df") <= df_cap), "fp").select("doc_id", "fp")
+    a = rare.select(F.col("doc_id").alias("a_id"), "fp")
+    b = rare.select(F.col("doc_id").alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search family
 # ---------------------------------------------------------------------------
@@ -511,6 +545,7 @@ QUERIES = {
     "d_token_count": d_token_count,
     "d_fingerprint": d_fingerprint,
     "d_rolling_fingerprint": d_rolling_fingerprint,
+    "d_winnow_overlap_pairs": d_winnow_overlap_pairs,
     "e_knn_bruteforce": e_knn_bruteforce,
     "e_lsh_ann": e_lsh_ann,
     "e_ivf_ann": e_ivf_ann,
@@ -640,6 +675,7 @@ ORACLES.update(
         "d_minhash_lsh_pairs": _golden.oracle_sql_for("d_minhash_lsh_pairs"),
         "d_simhash": _golden.oracle_sql_for("d_simhash"),
         "d_rolling_fingerprint": _golden.oracle_sql_for("d_rolling_fingerprint"),
+        "d_winnow_overlap_pairs": _golden.oracle_sql_for("d_winnow_overlap_pairs"),
         "e_lsh_ann": _golden.oracle_sql_for("e_lsh_ann"),
         "e_ivf_ann": _golden.oracle_sql_for("e_ivf_ann"),
         "e_cosine_lsh": _golden.oracle_sql_for("e_cosine_lsh"),

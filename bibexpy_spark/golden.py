@@ -49,7 +49,7 @@ from bibexpy_spark.functions import c1_address as c1
 from bibexpy_spark.functions.bibex_norms import jaro_winkler
 
 EXPECTED_DIR = "/root/repo/data/expected"
-GOLDEN_VERSION = "r2-v5"
+GOLDEN_VERSION = "r2-v6"
 SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 DATA_DIR = "/root/repo/data"
 
@@ -252,10 +252,34 @@ def build_document_goldens() -> dict[str, pd.DataFrame]:
             ).view(np.int64),
         }
     )
+    # d_winnow_overlap_pairs: inverted index over the same fps, df-cap 50,
+    # pair threshold 20 shared fingerprints
+    from collections import defaultdict
+
+    inv: dict[int, list[int]] = defaultdict(list)
+    for i, f in enumerate(fps):
+        for h in np.unique(f):
+            inv[int(h)].append(i)
+    pair_counts: dict[tuple[int, int], int] = defaultdict(int)
+    for h, docs in inv.items():
+        if len(docs) > 50:
+            continue
+        for x, y in itertools.combinations(docs, 2):
+            a, b = (x, y) if ids[x] < ids[y] else (y, x)
+            pair_counts[(a, b)] += 1
+    overlap = pd.DataFrame(
+        sorted(
+            (ids[a], ids[b], c) for (a, b), c in pair_counts.items() if c >= 20
+        ),
+        columns=["a_id", "b_id", "n_shared"],
+    )
+    overlap["n_shared"] = overlap["n_shared"].astype(np.int64)
+
     return {
         "d_minhash_lsh_pairs": lsh_pairs,
         "d_simhash": simhash,
         "d_rolling_fingerprint": rolling,
+        "d_winnow_overlap_pairs": overlap,
     }
 
 
