@@ -104,3 +104,66 @@ def test_band_hash_count_and_determinism(vals):
     b2 = kernels.band_hashes(sig.copy(), cfg)
     assert b1.shape == (1, cfg.bands)
     assert np.array_equal(b1, b2)
+
+
+ascii_word = st.text(alphabet="abcdefghij ", min_size=30, max_size=120)
+
+
+@given(ascii_word, ascii_word, st.integers(min_value=0, max_value=20))
+@settings(max_examples=40, deadline=None)
+def test_rolling_fp_substring_guarantee(a, tail, cut):
+    """Winnowing guarantee under random composition: embedding a long-enough
+    slice of one text inside another always yields a shared fingerprint."""
+    k, w = 7, 4
+    need = w + k - 1
+    sub = a[cut: cut + max(need, 12)]
+    if len(sub) < need:
+        return
+    b = "zzzz " + sub + " qqqq" + tail
+    fps = kernels.rolling_fingerprints(pd.Series([a, b]), k, w)
+    assert len(np.intersect1d(fps[0], fps[1], assume_unique=True)) >= 1
+
+
+@given(st.lists(ascii_word, min_size=1, max_size=10))
+@settings(max_examples=30, deadline=None)
+def test_rolling_fp_batch_equals_single(texts):
+    """Batch-invariance: fingerprints of a row do not depend on its batch."""
+    batch = kernels.rolling_fingerprints(pd.Series(texts))
+    for i, t in enumerate(texts):
+        solo = kernels.rolling_fingerprints(pd.Series([t]))[0]
+        assert np.array_equal(batch[i], solo)
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from([f"u{i}" for i in range(8)]),
+        st.sets(st.sampled_from(list("abcdefg")), max_size=3),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_field_components_partition_properties(assignments):
+    """Author-split component partition (pure logic, mirrored from
+    entity_blocks): components cover every with-field record exactly once
+    and are pairwise field-disjoint."""
+    recs = [{"record": r, "fields": fs} for r, fs in sorted(assignments.items()) if fs]
+    comps: list[list[dict]] = []
+    for r in recs:
+        hit = [ci for ci, comp in enumerate(comps)
+               if any(r["fields"] & x["fields"] for x in comp)]
+        if not hit:
+            comps.append([r])
+        else:
+            first = hit[0]
+            comps[first].append(r)
+            for ci in sorted(hit[1:], reverse=True):
+                comps[first].extend(comps[ci])
+                del comps[ci]
+    covered = [x["record"] for comp in comps for x in comp]
+    assert sorted(covered) == [r["record"] for r in recs]
+    for i in range(len(comps)):
+        fi = {f for x in comps[i] for f in x["fields"]}
+        for j in range(i + 1, len(comps)):
+            fj = {f for x in comps[j] for f in x["fields"]}
+            assert not (fi & fj), "components must be field-disjoint"
