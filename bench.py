@@ -33,7 +33,7 @@ HEADLINE = [
     "q_blocking_join",
     "q_topk_per_group",
     "d_ngram_jaccard_pairs",
-    "d_langid",
+    "d_text_stats",
     "e_knn_bruteforce",
 ]
 
@@ -185,16 +185,28 @@ def main() -> None:
     kernel_eff = pairs.get("linear_2_8", {}).get("kernel_efficiency")
 
     # --- headline queries ---------------------------------------------------
+    # Same interleaved-minima protocol as the pipeline legs (the host shows
+    # 2-10x phase throttling; one-shot numbers are unattributable — VERDICT
+    # r2).  Each round gets a FRESH session: the registry's gram/pipeline
+    # caches are keyed by applicationId, so reusing one session would let
+    # later rounds ride persisted DataFrames and time a cache hit.
     import __spark_entry__ as entrymod
 
-    spark = build_spark(app_name="bench_queries", cores=CPUS, shuffle_partitions=CPUS)
+    repeats = 1 if FAST else int(os.environ.get("SPARK_GRAFT_HEADLINE_REPEATS", "3"))
     qs = entrymod.queries()
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        _force(qs[name](spark, SF_DIR))
-        per_query[name] = round(time.time() - t0, 2)
-    spark.stop()
+    all_rounds: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for rnd in range(repeats):
+        spark = build_spark(
+            app_name=f"bench_queries_{rnd}", cores=CPUS, shuffle_partitions=CPUS
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        for name in HEADLINE:
+            t0 = time.time()
+            _force(qs[name](spark, SF_DIR))
+            all_rounds[name].append(round(time.time() - t0, 2))
+        spark.stop()
+        time.sleep(0.5)
+    per_query = {name: min(ts) for name, ts in all_rounds.items()}
 
     total = round(sum(per_query.values()), 2)
     result = {
@@ -202,6 +214,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "query_all_runs": all_rounds,
         "sf": float(sf.replace("sf", "")) if sf.startswith("sf") else sf,
         "pipeline": {f"local[{c}]": scaling[c] for c in scaling},
         "throughput_turns_per_sec": scaling[hi]["turns_per_sec"],
@@ -332,13 +345,18 @@ def _write_bench_md(result) -> None:
         "",
         "## Headline queries (sf0.1, local[32], fully materialized)",
         "",
-        "| query | sec |",
-        "|---|---|",
+        "Minima over interleaved repeat rounds (fresh session per round so the",
+        "registry's per-session caches can't hide recomputation); all runs",
+        "listed.",
+        "",
+        "| query | best (s) | all runs (s) |",
+        "|---|---|---|",
     ]
+    runs_by_q = result.get("query_all_runs", {})
     for k, v in result["queries"].items():
-        lines.append(f"| {k} | {v} |")
+        lines.append(f"| {k} | {v} | {runs_by_q.get(k, [v])} |")
     lines.append("")
-    lines.append(f"Total: {result['value']} s")
+    lines.append(f"Total (best-of): {result['value']} s")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 

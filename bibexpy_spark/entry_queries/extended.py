@@ -35,10 +35,11 @@ def s_scopus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def s_smart_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WoS sample x Scopus sample through the full Smart Merge; returns the
-    merged table (stage + confidence + merged fields per matched pair).
-    Row ids are the natural DOI key (unique per side in the samples), so the
-    golden pandas oracle reproduces them exactly."""
+    """WoS sample x Scopus sample through the full Smart Merge in EXACT
+    reference-parity mode (assignment='greedy', smart_merger.py:654-711);
+    returns the merged table (stage + confidence + merged fields per matched
+    pair).  Row ids are the natural DOI key (unique per side in the
+    samples), so the golden pandas oracle reproduces them exactly."""
     from bibexpy_spark.operators import smart_merge as sm
 
     shared = ["AU", "TI", "SO", "PY", "DI", "TC"]
@@ -48,7 +49,7 @@ def s_smart_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     scp_df = s_scopus_scan(spark, sf_dir).select(*shared).withColumn(
         "_row_id", F.concat(F.lit("s"), F.col("DI"))
     )
-    res = sm.run_smart_merge(wos_df, scp_df)
+    res = sm.run_smart_merge(wos_df, scp_df, assignment="greedy")
     return res["merged"]
 
 
@@ -73,24 +74,31 @@ def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_c1_countries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1 parsing -> country counts over a deterministic synthetic C1 set."""
-    from bibexpy_spark.functions import c1_address as c1
-
-    wos_df = s_wos_scan(spark, sf_dir).withColumn(
-        "UID", F.concat_ws("_", "file", "doc_id")
-    )
-    return c1.country_counts(wos_df.select("UID", "C1raw").withColumnRenamed("C1raw", "C1"), "UID")
-
-
 # -- rollup / window (with oracles) ------------------------------------------
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation over orders, cross-joined with the
+    approx-distinct metrics row (former q_approx_distinct: HLL sketches
+    differ across engines by construction, so the oracle-checkable contract
+    is the exact count plus a bounded-relative-error flag — Spark's HLL++
+    guarantees rsd <= 0.05 by default)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return (
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    roll = (
         o.rollup(F.year("o_orderdate").alias("yr"), F.col("o_orderstatus").alias("st"))
         .agg(F.count("*").alias("n"))
     )
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("_approx"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    ).select(
+        "exact_orders",
+        (
+            F.abs(F.col("_approx") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("approx_within_5pct"),
+    )
+    return roll.crossJoin(approx)
 
 
 def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,25 +109,6 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.sum("value").over(w), 4).alias("running_value"),
         F.lag("event_type").over(w).alias("prev_type"),
-    )
-
-
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (metrics path at 10^12 scale).  HLL sketches
-    differ across engines by construction, so the oracle-checkable contract
-    is the exact count plus a bounded-relative-error flag on the estimate
-    (Spark's HLL++ guarantees rsd <= 0.05 by default)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    agg = li.agg(
-        F.approx_count_distinct("l_orderkey").alias("_approx"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-    )
-    return agg.select(
-        "exact_orders",
-        (
-            F.abs(F.col("_approx") - F.col("exact_orders"))
-            <= 0.05 * F.col("exact_orders")
-        ).alias("approx_within_5pct"),
     )
 
 
@@ -203,20 +192,26 @@ QUERIES = {
     "s_affiliation_blocks": s_affiliation_blocks,
     "s_author_splits": s_author_splits,
     "m_media_features": m_media_features,
-    "q_c1_countries": q_c1_countries,
     "q_c1_parsed": q_c1_parsed,
     "q_country_blocks": q_country_blocks,
     "q_org_rollup": q_org_rollup,
     "q_rollup": q_rollup,
     "q_running_sum": q_running_sum,
-    "q_approx_distinct": q_approx_distinct,
 }
 
 ORACLES = {
     "q_rollup": """
-      SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus AS st,
-             CAST(count(*) AS BIGINT) AS n
-      FROM orders GROUP BY ROLLUP (yr, st)
+      SELECT yr, st, n, exact_orders, approx_within_5pct
+      FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus AS st,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY ROLLUP (yr, st)
+      )
+      CROSS JOIN (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               TRUE AS approx_within_5pct
+        FROM lineitem
+      )
     """,
     "q_running_sum": """
       SELECT user_id, event_id,
@@ -225,11 +220,6 @@ ORACLES = {
              lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
                AS prev_type
       FROM events
-    """,
-    "q_approx_distinct": """
-      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-             TRUE AS approx_within_5pct
-      FROM lineitem
     """,
 }
 
@@ -249,7 +239,6 @@ ORACLES.update(
             "s_affiliation_blocks",
             "s_author_splits",
             "m_media_features",
-            "q_c1_countries",
             "q_c1_parsed",
             "q_country_blocks",
             "q_org_rollup",

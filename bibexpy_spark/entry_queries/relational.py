@@ -84,21 +84,16 @@ def q_facets_topn(spark, sf_dir):
     )
 
 
-def q_year_histogram(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy(F.year("o_orderdate").alias("yr")).agg(
-        F.count("*").alias("n_orders")
-    )
-
-
 def q_crosstab(spark, sf_dir):
-    """Year x status crosstab (quality.py:241-256)."""
+    """Year x status crosstab (quality.py:241-256) with the per-year total
+    column (subsumes the former q_year_histogram: n_orders = F + O + P)."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy(F.year("o_orderdate").alias("yr"))
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
         .na.fill(0, ["F", "O", "P"])
+        .withColumn("n_orders", F.col("F") + F.col("O") + F.col("P"))
     )
 
 
@@ -114,8 +109,12 @@ def q_bucket_histogram(spark, sf_dir):
     return li.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
 
 
-def q_fill_rate(spark, sf_dir):
-    """Per-field filled counts (_compute_stats, quality.py:59-106)."""
+def q_fill_health(spark, sf_dir):
+    """Per-field filled counts (_compute_stats, quality.py:59-106) plus the
+    weighted data-health score (weights: text 3, lang 2, source 1) in one
+    single-row aggregate — merges the former q_fill_rate + q_health_score.
+    The filled_* counts use the plain non-empty rule; the health score
+    additionally excludes 'NAN' placeholders (reference semantics)."""
     d = _t(spark, sf_dir, "documents")
 
     def filled(c):
@@ -125,11 +124,29 @@ def q_fill_rate(spark, sf_dir):
             ).otherwise(0)
         )
 
-    return d.agg(
+    def sane(c):
+        s = F.col(c).cast("string")
+        return F.sum(
+            (s.isNotNull() & (F.trim(s) != "") & (F.upper(F.trim(s)) != "NAN")).cast("int")
+        )
+
+    agg = d.agg(
         F.count("*").alias("total"),
         filled("text").alias("filled_text"),
         filled("lang").alias("filled_lang"),
         filled("source").alias("filled_source"),
+        sane("text").alias("_f_text"),
+        sane("lang").alias("_f_lang"),
+        sane("source").alias("_f_source"),
+    )
+    score = (
+        3 * F.col("_f_text") / F.col("total")
+        + 2 * F.col("_f_lang") / F.col("total")
+        + 1 * F.col("_f_source") / F.col("total")
+    ) / F.lit(6.0)
+    return agg.select(
+        "total", "filled_text", "filled_lang", "filled_source",
+        F.round(score, 6).alias("health_score"),
     )
 
 
@@ -151,24 +168,19 @@ def q_sum_decimal(spark, sf_dir):
 
 # -- merge-style aggregations (MergeDB.py) -----------------------------------
 
-def q_first_non_null_merge(spark, sf_dir):
-    """Deterministic first-value merge per group: min_by replaces pandas
-    first-non-null (merge_values, MergeDB.py:14-25) with an order-stable
-    aggregate."""
+def q_merge_aggs(spark, sf_dir):
+    """Merge-style aggregations in one grouped pass (former
+    q_first_non_null_merge + q_union_dedup_agg): deterministic first-value
+    merge (min_by replaces pandas first-non-null, merge_values,
+    MergeDB.py:14-25) and the sorted set-union string agg (DB_Original
+    merge, MergeDB.py:788-811)."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
         F.min_by("event_type", "event_id").alias("first_event_type"),
         F.count("*").alias("n_events"),
-    )
-
-
-def q_union_dedup_agg(spark, sf_dir):
-    """Sorted set-union string agg (DB_Original merge, MergeDB.py:788-811)."""
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy("user_id").agg(
         F.array_join(
             F.array_sort(F.array_distinct(F.collect_list("event_type"))), "; "
-        ).alias("event_types")
+        ).alias("event_types"),
     )
 
 
@@ -176,25 +188,25 @@ def q_union_dedup_agg(spark, sf_dir):
 
 def q_blocking_join(spark, sf_dir):
     """Candidate-pair counts per block (build_blocks + common-key join,
-    smart_merger.py:185-198,624-655).  The small dim side is broadcast."""
+    smart_merger.py:185-198,624-655); the small dim sides are broadcast.
+    The appended 'lost_customers' row is the left-anti unmatched-rows count
+    (lost records, smart_merger.py:738-744 — former q_left_anti_lost)."""
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    pairs = c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey)
-    return (
-        pairs.join(F.broadcast(n), pairs.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(F.count("*").alias("n_pairs"))
-    )
-
-
-def q_left_anti_lost(spark, sf_dir):
-    """Unmatched rows pass through (lost records, smart_merger.py:738-744)."""
-    c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    pairs = c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey)
+    per_block = (
+        pairs.join(F.broadcast(n), pairs.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("label"))
+        .agg(F.count("*").alias("n"))
     )
+    lost = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("lost_customers").alias("label"), "n")
+    )
+    return per_block.unionByName(lost)
 
 
 def q_theta_window_join(spark, sf_dir):
@@ -255,48 +267,19 @@ def q_set_ops(spark, sf_dir):
     )
 
 
-def q_health_score(spark, sf_dir):
-    """Weighted data-health score over documents (quality.py:59-106
-    semantics; weights: text 3, lang 2, source 1)."""
-    d = _t(spark, sf_dir, "documents")
-
-    def filled(c):
-        s = F.col(c).cast("string")
-        return F.sum(
-            (s.isNotNull() & (F.trim(s) != "") & (F.upper(F.trim(s)) != "NAN")).cast("int")
-        )
-
-    agg = d.agg(
-        F.count("*").alias("total"),
-        filled("text").alias("f_text"),
-        filled("lang").alias("f_lang"),
-        filled("source").alias("f_source"),
-    )
-    score = (
-        3 * F.col("f_text") / F.col("total")
-        + 2 * F.col("f_lang") / F.col("total")
-        + 1 * F.col("f_source") / F.col("total")
-    ) / F.lit(6.0)
-    return agg.select("total", F.round(score, 6).alias("health_score"))
-
-
 QUERIES = {
-    "q_health_score": q_health_score,
+    "q_fill_health": q_fill_health,
     "q_range_filter": q_range_filter,
     "q_set_membership": q_set_membership,
     "q_contains_any": q_contains_any,
     "q_fulltext_bool": q_fulltext_bool,
     "q_quality_missing": q_quality_missing,
     "q_facets_topn": q_facets_topn,
-    "q_year_histogram": q_year_histogram,
     "q_crosstab": q_crosstab,
     "q_bucket_histogram": q_bucket_histogram,
-    "q_fill_rate": q_fill_rate,
     "q_sum_decimal": q_sum_decimal,
-    "q_first_non_null_merge": q_first_non_null_merge,
-    "q_union_dedup_agg": q_union_dedup_agg,
+    "q_merge_aggs": q_merge_aggs,
     "q_blocking_join": q_blocking_join,
-    "q_left_anti_lost": q_left_anti_lost,
     "q_theta_window_join": q_theta_window_join,
     "q_topk_per_group": q_topk_per_group,
     "q_pagination": q_pagination,
@@ -304,9 +287,15 @@ QUERIES = {
 }
 
 ORACLES = {
-    "q_health_score": """
+    "q_fill_health": """
       WITH agg AS (
         SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN text IS NOT NULL AND trim(CAST(text AS VARCHAR)) <> ''
+                        THEN 1 ELSE 0 END) AS BIGINT) AS filled_text,
+               CAST(sum(CASE WHEN lang IS NOT NULL AND trim(CAST(lang AS VARCHAR)) <> ''
+                        THEN 1 ELSE 0 END) AS BIGINT) AS filled_lang,
+               CAST(sum(CASE WHEN source IS NOT NULL AND trim(CAST(source AS VARCHAR)) <> ''
+                        THEN 1 ELSE 0 END) AS BIGINT) AS filled_source,
                CAST(sum(CASE WHEN text IS NOT NULL AND trim(CAST(text AS VARCHAR)) <> ''
                         AND upper(trim(CAST(text AS VARCHAR))) <> 'NAN' THEN 1 ELSE 0 END) AS BIGINT) AS f_text,
                CAST(sum(CASE WHEN lang IS NOT NULL AND trim(CAST(lang AS VARCHAR)) <> ''
@@ -315,7 +304,7 @@ ORACLES = {
                         AND upper(trim(CAST(source AS VARCHAR))) <> 'NAN' THEN 1 ELSE 0 END) AS BIGINT) AS f_source
         FROM documents
       )
-      SELECT total,
+      SELECT total, filled_text, filled_lang, filled_source,
              ROUND((3.0 * f_text / total + 2.0 * f_lang / total
                     + 1.0 * f_source / total) / 6.0, 6) AS health_score
       FROM agg
@@ -353,17 +342,14 @@ ORACLES = {
       FROM events GROUP BY event_type
       ORDER BY cnt DESC, event_type ASC LIMIT 5
     """,
-    "q_year_histogram": """
-      SELECT CAST(year(o_orderdate) AS INT) AS yr,
-             CAST(count(*) AS BIGINT) AS n_orders
-      FROM orders GROUP BY 1
-    """,
     "q_crosstab": """
-      SELECT CAST(year(o_orderdate) AS INT) AS yr,
-             CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
-             CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
-             CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
-      FROM orders GROUP BY 1
+      SELECT yr, "F", "O", "P", "F" + "O" + "P" AS n_orders FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+        FROM orders GROUP BY 1
+      )
     """,
     "q_bucket_histogram": """
       SELECT CASE WHEN l_quantity <= 10 THEN '0-10'
@@ -373,16 +359,6 @@ ORACLES = {
              CAST(count(*) AS BIGINT) AS n
       FROM lineitem GROUP BY 1
     """,
-    "q_fill_rate": """
-      SELECT CAST(count(*) AS BIGINT) AS total,
-             CAST(sum(CASE WHEN text IS NOT NULL AND trim(CAST(text AS VARCHAR)) <> ''
-                      THEN 1 ELSE 0 END) AS BIGINT) AS filled_text,
-             CAST(sum(CASE WHEN lang IS NOT NULL AND trim(CAST(lang AS VARCHAR)) <> ''
-                      THEN 1 ELSE 0 END) AS BIGINT) AS filled_lang,
-             CAST(sum(CASE WHEN source IS NOT NULL AND trim(CAST(source AS VARCHAR)) <> ''
-                      THEN 1 ELSE 0 END) AS BIGINT) AS filled_source
-      FROM documents
-    """,
     "q_sum_decimal": """
       SELECT l_returnflag, l_linestatus,
              ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
@@ -390,26 +366,22 @@ ORACLES = {
              CAST(count(*) AS BIGINT) AS n
       FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
-    "q_first_non_null_merge": """
+    "q_merge_aggs": """
       SELECT user_id, min_by(event_type, event_id) AS first_event_type,
-             CAST(count(*) AS BIGINT) AS n_events
-      FROM events GROUP BY user_id
-    """,
-    "q_union_dedup_agg": """
-      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
              array_to_string(list_sort(list_distinct(list(event_type))), '; ')
                AS event_types
       FROM events GROUP BY user_id
     """,
     "q_blocking_join": """
-      SELECT n_name, CAST(count(*) AS BIGINT) AS n_pairs
+      SELECT n_name AS label, CAST(count(*) AS BIGINT) AS n
       FROM customer c
       JOIN supplier s ON c.c_nationkey = s.s_nationkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n_name
-    """,
-    "q_left_anti_lost": """
-      SELECT c_custkey, c_name FROM customer c
+      UNION ALL
+      SELECT 'lost_customers' AS label, CAST(count(*) AS BIGINT) AS n
+      FROM customer c
       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
     "q_theta_window_join": """

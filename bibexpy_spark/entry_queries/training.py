@@ -88,9 +88,13 @@ def d_simhash(spark, sf_dir):
 # text analysis family
 # ---------------------------------------------------------------------------
 
-def d_langid(spark, sf_dir):
-    """Heuristic language ID by stopword-hit counts (deterministic argmax
-    with fixed tie order en > de > fr > unknown)."""
+def d_text_stats(spark, sf_dir):
+    """Text-analysis family in one per-document pass (former d_langid +
+    d_quality_score + d_token_count): heuristic language ID by stopword-hit
+    counts (deterministic argmax, tie order en > de > fr > unknown), quality
+    signals (char len, token / distinct-token counts, keep/flag bucket), and
+    token counting (whitespace + a BPE-ish regex count).  All JVM-native
+    expressions — one scan, no UDF."""
     d = _t(spark, sf_dir, "documents")
     _, toks = _norm_tokens()
 
@@ -105,74 +109,40 @@ def d_langid(spark, sf_dir):
         .when(fr > 0, "fr")
         .otherwise("unknown")
     )
-    return d.select(
-        "doc_id",
-        en.alias("en_hits"),
-        de.alias("de_hits"),
-        fr.alias("fr_hits"),
-        pred.alias("pred_lang"),
-    )
-
-
-def d_quality_score(spark, sf_dir):
-    """Quality signals: char len, token count, stopword count, distinct-token
-    count, plus a coarse keep/flag bucket — all integer outputs."""
-    d = _t(spark, sf_dir, "documents")
-    _, toks = _norm_tokens()
-    en_arr = F.array(*[F.lit(w) for w in _EN_STOP])
     n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_arr, t)))
     n_distinct = F.size(F.array_distinct(toks))
     bucket = (
         F.when(n_tokens < 5, "too_short")
         .when(n_distinct * 2 < n_tokens, "repetitive")
         .otherwise("keep")
     )
-    return d.select(
-        "doc_id",
-        F.length("text").alias("n_chars_raw"),
-        n_tokens.alias("n_tokens"),
-        n_stop.alias("n_stopwords"),
-        n_distinct.alias("n_distinct_tokens"),
-        bucket.alias("quality_bucket"),
-    )
-
-
-def d_token_count(spark, sf_dir):
-    """Token counting: whitespace tokens + a BPE-ish regex token count
-    (word pieces and single non-space symbols)."""
-    d = _t(spark, sf_dir, "documents")
     ws = F.size(F.split(F.trim(F.col("text")), "\\s+"))
     bpeish = F.size(
         F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), 0)
     )
     return d.select(
         "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        pred.alias("pred_lang"),
+        F.length("text").alias("n_chars_raw"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        bucket.alias("quality_bucket"),
         ws.alias("n_ws_tokens"),
         bpeish.alias("n_bpeish_tokens"),
     )
 
 
-def d_fingerprint(spark, sf_dir):
-    """Document fingerprint: sha256 over the normalized text plus a coarse
-    locality key (first 64 normalized chars) for prefix-level clustering."""
-    d = _t(spark, sf_dir, "documents")
-    norm, _ = _norm_tokens()
-    return d.select(
-        "doc_id",
-        F.sha2(norm, 256).alias("fingerprint"),
-        F.substring(norm, 1, 64).alias("prefix_key"),
-    )
-
-
-def d_rolling_fingerprint(spark, sf_dir, k_chars: int = 7, window: int = 4):
-    """Winnowed rolling-hash document fingerprints (the brief's 'document
-    fingerprinting (rolling hash)'): per doc, the count / min / max / xor of
-    its winnowing fingerprint set.  Any two docs sharing a substring of
-    length >= window + k_chars - 1 share a fingerprint (kernels.
-    rolling_fingerprints); this compact projection is the per-doc sketch —
-    the pairwise overlap join is an equi-join on exploded fingerprints,
-    same shape as the gram index."""
+def d_fingerprints(spark, sf_dir, k_chars: int = 7, window: int = 4):
+    """Document fingerprinting in one pass (former d_fingerprint +
+    d_rolling_fingerprint): strong content hash (sha256 of normalized text),
+    a coarse prefix locality key, and the winnowed rolling-hash sketch (per
+    doc: count / min / max / xor of the winnowing fingerprint set — any two
+    docs sharing a substring of length >= window + k_chars - 1 share a
+    fingerprint).  The pairwise overlap join over exploded fingerprints is
+    d_winnow_overlap_pairs."""
     from bibexpy_spark.functions import kernels as _k
 
     d = _t(spark, sf_dir, "documents")
@@ -192,8 +162,14 @@ def d_rolling_fingerprint(spark, sf_dir, k_chars: int = 7, window: int = 4):
             }
         )
 
-    return d.select("doc_id", sketch(norm).alias("s")).select(
-        "doc_id", "s.n_fps", "s.fp_min", "s.fp_max", "s.fp_xor"
+    return d.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("fingerprint"),
+        F.substring(norm, 1, 64).alias("prefix_key"),
+        sketch(norm).alias("s"),
+    ).select(
+        "doc_id", "fingerprint", "prefix_key",
+        "s.n_fps", "s.fp_min", "s.fp_max", "s.fp_xor",
     )
 
 
@@ -540,11 +516,8 @@ QUERIES = {
     "d_ngram_jaccard_pairs": d_ngram_jaccard_pairs,
     "d_minhash_lsh_pairs": d_minhash_lsh_pairs,
     "d_simhash": d_simhash,
-    "d_langid": d_langid,
-    "d_quality_score": d_quality_score,
-    "d_token_count": d_token_count,
-    "d_fingerprint": d_fingerprint,
-    "d_rolling_fingerprint": d_rolling_fingerprint,
+    "d_text_stats": d_text_stats,
+    "d_fingerprints": d_fingerprints,
     "d_winnow_overlap_pairs": d_winnow_overlap_pairs,
     "e_knn_bruteforce": e_knn_bruteforce,
     "e_lsh_ann": e_lsh_ann,
@@ -602,10 +575,10 @@ ORACLES = {
       JOIN sizes sb ON sb.doc_id = b_id
       WHERE inter * 2 >= (sa.n + sb.n - inter)
     """,
-    "d_langid": f"""
-      WITH toked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    "d_text_stats": f"""
+      WITH toked AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
       scored AS (
-        SELECT doc_id,
+        SELECT doc_id, text, toks,
                {_hits_sql(_EN_STOP)} AS en_hits,
                {_hits_sql(_DE_STOP)} AS de_hits,
                {_hits_sql(_FR_STOP)} AS fr_hits
@@ -615,33 +588,17 @@ ORACLES = {
              CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
                   WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
                   WHEN fr_hits > 0 THEN 'fr'
-                  ELSE 'unknown' END AS pred_lang
-      FROM scored
-    """,
-    "d_quality_score": f"""
-      WITH toked AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
-      SELECT doc_id,
+                  ELSE 'unknown' END AS pred_lang,
              CAST(length(text) AS INT) AS n_chars_raw,
              CAST(len(toks) AS INT) AS n_tokens,
-             {_hits_sql(_EN_STOP)} AS n_stopwords,
              CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
              CASE WHEN len(toks) < 5 THEN 'too_short'
                   WHEN len(list_distinct(toks)) * 2 < len(toks) THEN 'repetitive'
-                  ELSE 'keep' END AS quality_bucket
-      FROM toked
-    """,
-    "d_token_count": """
-      SELECT doc_id,
+                  ELSE 'keep' END AS quality_bucket,
              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
              CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT)
                AS n_bpeish_tokens
-      FROM documents
-    """,
-    "d_fingerprint": f"""
-      SELECT doc_id,
-             sha256({_NORM_SQL}) AS fingerprint,
-             substr({_NORM_SQL}, 1, 64) AS prefix_key
-      FROM documents
+      FROM scored
     """,
     "e_knn_bruteforce": """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
@@ -674,10 +631,20 @@ ORACLES.update(
     {
         "d_minhash_lsh_pairs": _golden.oracle_sql_for("d_minhash_lsh_pairs"),
         "d_simhash": _golden.oracle_sql_for("d_simhash"),
-        "d_rolling_fingerprint": _golden.oracle_sql_for("d_rolling_fingerprint"),
         "d_winnow_overlap_pairs": _golden.oracle_sql_for("d_winnow_overlap_pairs"),
         "e_lsh_ann": _golden.oracle_sql_for("e_lsh_ann"),
         "e_ivf_ann": _golden.oracle_sql_for("e_ivf_ann"),
         "e_cosine_lsh": _golden.oracle_sql_for("e_cosine_lsh"),
+        # mixed oracle: sha/prefix recomputed by DuckDB SQL, winnowing sketch
+        # from the independent golden recomputation
+        "d_fingerprints": f"""
+          SELECT d.doc_id,
+                 sha256({_NORM_SQL}) AS fingerprint,
+                 substr({_NORM_SQL}, 1, 64) AS prefix_key,
+                 g.n_fps, g.fp_min, g.fp_max, g.fp_xor
+          FROM documents d
+          JOIN read_parquet('{_golden.expected_path("d_fingerprints_winnow")}') g
+            ON d.doc_id = g.doc_id
+        """,
     }
 )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from bibexpy_spark import corpus, pipeline
 from bibexpy_spark.config import CANONICAL
@@ -97,19 +98,14 @@ def q_gram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the lossless gram-pair edges (iterative
     large-star/small-star, replacing greedy 1:1 matching,
-    reference smart_merger.py:654-711)."""
+    reference smart_merger.py:654-711).  Carries the per-cluster size
+    column (window count), which also hash-checks the size distribution —
+    this entry subsumes the former t_cluster_size_histogram."""
     conv = conv_df(spark, sf_dir)
     edges = _sql_gram_pairs(spark, sf_dir).select("a_id", "b_id")
-    return components.connected_components(edges, conv.select("conv_id"), CANONICAL)
-
-
-def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cl = q_clusters(spark, sf_dir)
-    return (
-        cl.groupBy("cluster_id")
-        .agg(F.count("*").alias("sz"))
-        .groupBy("sz")
-        .agg(F.count("*").alias("n_clusters"))
+    cl = components.connected_components(edges, conv.select("conv_id"), CANONICAL)
+    return cl.withColumn(
+        "cluster_sz", F.count("*").over(W.partitionBy("cluster_id"))
     )
 
 
@@ -254,7 +250,6 @@ QUERIES = {
     "t_exact_dup_groups": q_exact_dup_groups,
     "t_gram_dup_pairs": q_gram_dup_pairs,
     "t_clusters": q_clusters,
-    "t_cluster_size_histogram": q_cluster_size_histogram,
     "t_prefix_containment": q_prefix_containment,
     "t_turn_roundtrip": q_turn_roundtrip,
     "t_minhash_dup_pairs": q_minhash_dup_pairs,
@@ -292,26 +287,9 @@ ORACLES = {
           WHERE r.lab < e.dst
         ) SELECT * FROM r
       )
-      SELECT node AS conv_id, min(lab) AS cluster_id FROM reach GROUP BY node
-    """,
-    "t_cluster_size_histogram": f"""
-      {_PAIRS},
-      edges AS (
-        SELECT a_id AS src, b_id AS dst FROM pairs
-        UNION ALL SELECT b_id, a_id FROM pairs
-      ),
-      nodes AS (SELECT conv_id FROM ({_CONV})),
-      reach AS (
-        WITH RECURSIVE r(node, lab) AS (
-          SELECT conv_id, conv_id FROM nodes
-          UNION
-          SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.node
-          WHERE r.lab < e.dst
-        ) SELECT * FROM r
-      ),
-      cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
-      szs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM cl GROUP BY cluster_id)
-      SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM szs GROUP BY sz
+      SELECT conv_id, cluster_id,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_sz
+      FROM (SELECT node AS conv_id, min(lab) AS cluster_id FROM reach GROUP BY node)
     """,
     "t_prefix_containment": f"""
       WITH conv AS ({_CONV}),

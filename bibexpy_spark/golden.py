@@ -11,20 +11,28 @@ single-process reference computation end-to-end.
 
 Independence level, per family (documented so the judge can weigh it):
 
-  * transcripts/documents dedup, simhash, ANN — recomputed here from the raw
-    parquet through the SHARED numpy kernels (bibexpy_spark.functions.
-    kernels) but through an INDEPENDENT single-process pipeline (python
-    dict buckets + union-find vs Spark shuffles/joins/iterative CC).  The
-    kernels themselves are separately oracled in pytest against brute force
-    (tests/test_pipeline_golden.py, test_kernels.py).
+  * transcripts/documents dedup, simhash, winnowing, ANN — recomputed here
+    from the raw parquet through INDEPENDENT reimplementations of every
+    kernel (section "independent kernel reimplementations" below: naive
+    per-row loops / one-line numpy, no import from bibexpy_spark.functions)
+    and an INDEPENDENT single-process pipeline (python dict buckets +
+    union-find vs Spark shuffles/joins/iterative CC).  Bit-equality between
+    these reimplementations and the engine kernels is itself pytest-gated
+    (tests/test_golden_independent.py) — so an engine-kernel bug can no
+    longer pass both sides.
   * WoS/Scopus scans — fully independent pandas parsers in this module,
     written against the reference's isi2df/csvScopus2df semantics.
   * smart merge / disambiguation / entity blocks — independent pandas
     implementations of the reference's sequential algorithms (blocks,
-    staged matching, union-find clustering), sharing only the scalar
-    normalizers' SEMANTICS (reimplemented below as plain pandas ports).
+    staged matching, union-find clustering), with the scalar normalizers,
+    Jaro-Winkler, and the C1 address parser all reimplemented below.
+    The C1 dictionaries (country variants, org keywords) are duplicated as
+    DATA — they are the spec; the parsing LOGIC is written independently.
   * media features — independent recomputation of the deterministic
     synthesis + sha256 feature path.
+
+This module imports NOTHING from bibexpy_spark.functions (enforced by
+tests/test_golden_independent.py).
 
 Rebuild policy: goldens are versioned by GOLDEN_VERSION; bump it whenever
 any computation here or in the covered queries changes.
@@ -44,12 +52,9 @@ import pandas as pd
 
 from bibexpy_spark import corpus, oracle
 from bibexpy_spark.config import CANONICAL, DedupConfig
-from bibexpy_spark.functions import kernels
-from bibexpy_spark.functions import c1_address as c1
-from bibexpy_spark.functions.bibex_norms import jaro_winkler
 
 EXPECTED_DIR = "/root/repo/data/expected"
-GOLDEN_VERSION = "r2-v6"
+GOLDEN_VERSION = "r3-v2"
 SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 DATA_DIR = "/root/repo/data"
 
@@ -121,7 +126,383 @@ def _is_empty(v) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# transcript dedup family (shared kernels, independent pipeline)
+# independent kernel reimplementations (NO bibexpy_spark.functions imports)
+#
+# Each function below recomputes one engine kernel (functions/kernels.py /
+# bibex_norms.py / c1_address.py) from its SPEC — seeds, mixing constants,
+# and dictionaries are the contract and appear verbatim; the code paths are
+# deliberately naive (per-row loops, one-line numpy) so an implementation
+# bug in the engine's blocked/buffered fast paths cannot be reproduced here.
+# Bit-equality engine-vs-golden is pytest-gated (test_golden_independent.py).
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+# splitmix64 finalizer constants (public domain) — the hash spec
+_GMIX1 = 0xBF58476D1CE4E5B9
+_GMIX2 = 0x94D049BB133111EB
+_GGOLD = 0x9E3779B97F4A7C15
+_GROLL_BASE = 1_000_003  # winnowing polynomial base
+
+
+def _g_hash64(s: str) -> int:
+    """blake2b(digest_size=8), big-endian — the engine's token/string hash."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def _g_mix64(x: int) -> int:
+    """Scalar splitmix64 finalizer (python ints, masked to 64 bits)."""
+    x = (x + _GGOLD) & _M64
+    x = (x ^ (x >> 30)) * _GMIX1 & _M64
+    x = (x ^ (x >> 27)) * _GMIX2 & _M64
+    return x ^ (x >> 31)
+
+
+def _g_norm_text(s, cfg: DedupConfig = CANONICAL) -> str:
+    """One string through the canonical normalization chain (scalar re/
+    unicodedata — the engine does the same chain with pandas .str ops)."""
+    t = "" if s is None or (isinstance(s, float) and pd.isna(s)) else str(s)
+    if cfg.unicode_fold:
+        t = unicodedata.normalize("NFKD", t)
+        if cfg.strip_punct:
+            t = re.sub(r"[^0-9A-Za-z\s̀-ͯ]", " ", t)
+        t = t.encode("ascii", "ignore").decode("ascii")
+    if cfg.lowercase:
+        t = t.lower()
+    if cfg.strip_punct:
+        t = re.sub(r"[^a-z0-9]+" if cfg.lowercase else r"[^A-Za-z0-9]+", " ", t)
+    if cfg.collapse_ws:
+        t = re.sub(r"\s+", " ", t).strip()
+    if cfg.stopwords:
+        t = re.sub(r"\b(?:" + "|".join(cfg.stopwords) + r")\b", " ", t)
+        t = re.sub(r"\s+", " ", t).strip()
+    return t
+
+
+def _g_norm_series(texts: pd.Series, cfg: DedupConfig = CANONICAL) -> pd.Series:
+    return texts.map(lambda s: _g_norm_text(s, cfg))
+
+
+def _g_sha256_series(norm: pd.Series) -> pd.Series:
+    return norm.map(lambda s: hashlib.sha256(s.encode("utf-8")).hexdigest())
+
+
+def _g_shingles(norm: str, k: int) -> np.ndarray:
+    """Sorted-unique uint64 word-k-gram hashes of one normalized string:
+    combine k consecutive token hashes with the multiply-xor chain, then the
+    splitmix64 finalizer.  <k tokens -> one shingle over all tokens; empty ->
+    the singleton {hash('')}."""
+    toks = norm.split()
+    if not toks:
+        return np.array([_g_hash64("")], dtype=np.uint64)
+    th = [_g_hash64(t) for t in toks]
+    if len(th) < k:
+        h = th[0]
+        for x in th[1:]:
+            h = ((h * _GMIX1) & _M64) ^ x
+        return np.array([_g_mix64(h)], dtype=np.uint64)
+    vals = set()
+    for i in range(len(th) - k + 1):
+        h = th[i]
+        for j in range(1, k):
+            h = ((h * _GMIX1) & _M64) ^ th[i + j]
+        vals.add(_g_mix64(h))
+    return np.array(sorted(vals), dtype=np.uint64)
+
+
+def _g_shingle_sets(norm: pd.Series, cfg: DedupConfig = CANONICAL) -> list[np.ndarray]:
+    return [_g_shingles(s, cfg.shingle_k) for s in norm]
+
+
+def _g_minhash_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    """The seeded (a, b) multiply-shift parameters — seed + draw order ARE
+    the signature spec, reproduced from it verbatim."""
+    rng = np.random.default_rng(cfg.minhash_seed)
+    a = rng.integers(1, 2**63, size=cfg.num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, size=cfg.num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _g_signatures(shingles: list[np.ndarray], cfg: DedupConfig) -> np.ndarray:
+    """(n, num_perm) uint64 MinHash — one naive broadcast min per row (the
+    engine packs rows into reused blocked buffers; this does not)."""
+    a, b = _g_minhash_params(cfg)
+    sig = np.empty((len(shingles), cfg.num_perm), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, sh in enumerate(shingles):
+            sig[i] = (a[:, None] * sh[None, :] + b[:, None]).min(axis=1)
+    return sig
+
+
+def _g_band_hashes(sig: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """(n, bands) int64 band hashes: fold r signature values + band index
+    through the multiply-xor chain and the splitmix64 finalizer."""
+    n = sig.shape[0]
+    out = np.empty((n, cfg.bands), dtype=np.uint64)
+    for i in range(n):
+        for bi in range(cfg.bands):
+            h = bi + 1
+            for j in range(cfg.rows_per_band):
+                h = ((h * _GMIX1) & _M64) ^ int(sig[i, bi * cfg.rows_per_band + j])
+            out[i, bi] = _g_mix64(h)
+    return out.view(np.int64)
+
+
+def _g_simhash(norm: str) -> int:
+    """64-bit SimHash of one normalized string: majority vote per bit over
+    the token-occurrence hashes (scalar loop)."""
+    toks = norm.split()
+    if not toks:
+        return 0
+    ones = [0] * 64
+    for t in toks:
+        h = _g_hash64(t)
+        for bit in range(64):
+            ones[bit] += (h >> bit) & 1
+    n = len(toks)
+    out = 0
+    for bit in range(64):
+        if 2 * ones[bit] > n:
+            out |= 1 << bit
+    return out
+
+
+def _g_hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & _M64).count("1")
+
+
+def _g_winnow(s: str, k_chars: int = 7, window: int = 4) -> np.ndarray:
+    """Winnowed rolling-hash fingerprints of one normalized string (scalar
+    polynomial hash + per-window min), sorted unique."""
+    data = s.encode("utf-8")
+    n = len(data)
+    if n < k_chars:
+        return np.array([_g_hash64(s) if s else _g_hash64("")], dtype=np.uint64)
+    powers = [1] * k_chars
+    for j in range(k_chars - 2, -1, -1):
+        powers[j] = (powers[j + 1] * _GROLL_BASE) & _M64
+    m = n - k_chars + 1
+    hs = []
+    for i in range(m):
+        h = 0
+        for j in range(k_chars):
+            h = (h + data[i + j] * powers[j]) & _M64
+        hs.append(_g_mix64(h))
+    if m <= window:
+        return np.array([min(hs)], dtype=np.uint64)
+    fps = {min(hs[i : i + window]) for i in range(m - window + 1)}
+    return np.array(sorted(fps), dtype=np.uint64)
+
+
+def _g_winnow_series(norm: pd.Series, k_chars: int = 7, window: int = 4) -> list[np.ndarray]:
+    return [_g_winnow(s, k_chars, window) for s in norm.fillna("").astype(str)]
+
+
+def _g_jaro(a: str, b: str) -> float:
+    """Classic Jaro with the reference's float transposition halving
+    (similarity.py:27-60) — independent scalar rewrite."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    win = max(max(la, lb) // 2 - 1, 0)
+    used_a = [False] * la
+    used_b = [False] * lb
+    for i in range(la):
+        for j in range(max(0, i - win), min(lb, i + win + 1)):
+            if not used_b[j] and b[j] == a[i]:
+                used_a[i] = used_b[j] = True
+                break
+    a_matched = [a[i] for i in range(la) if used_a[i]]
+    b_matched = [b[j] for j in range(lb) if used_b[j]]
+    m = len(a_matched)
+    if m == 0:
+        return 0.0
+    # float transposition halving, exactly as the reference (similarity.py:57)
+    t = sum(1 for x, y in zip(a_matched, b_matched) if x != y) / 2
+    return (m / la + m / lb + (m - t) / m) / 3
+
+
+def _g_jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    j = _g_jaro(a, b)
+    prefix = 0
+    for ca, cb in zip(a[:max_prefix], b[:max_prefix]):
+        if ca != cb:
+            break
+        prefix += 1
+    return j + prefix * p * (1 - j)
+
+
+# C1 address parsing — dictionaries are the spec (duplicated verbatim from
+# the reference's c1_utils.py semantics, see functions/c1_address.py:39-112);
+# the split/parse logic below is an independent rewrite.
+
+_G_COUNTRY_VARIANTS = {
+    "usa": "United States", "u.s.a.": "United States", "u.s.a": "United States",
+    "us": "United States", "u.s.": "United States", "u s a": "United States",
+    "united states of america": "United States", "america": "United States",
+    "united states": "United States",
+    "uk": "United Kingdom", "u.k.": "United Kingdom",
+    "great britain": "United Kingdom", "england": "United Kingdom",
+    "scotland": "United Kingdom", "wales": "United Kingdom",
+    "northern ireland": "United Kingdom", "north ireland": "United Kingdom",
+    "united kingdom": "United Kingdom",
+    "peoples r china": "China", "p r china": "China", "prc": "China",
+    "peoples republic of china": "China", "china": "China",
+    "mainland china": "China",
+    "south korea": "South Korea", "korea": "South Korea",
+    "republic of korea": "South Korea", "korea rep": "South Korea",
+    "korea (south)": "South Korea",
+    "north korea": "North Korea", "dprk": "North Korea",
+    "russia": "Russia", "russian federation": "Russia", "ussr": "Russia",
+    "turkiye": "Turkey", "türkiye": "Turkey", "turkey": "Turkey",
+    "iran": "Iran", "islamic republic of iran": "Iran",
+    "czechia": "Czech Republic", "czech republic": "Czech Republic",
+    "netherlands": "Netherlands", "the netherlands": "Netherlands",
+    "holland": "Netherlands",
+    "uae": "United Arab Emirates", "u arab emirates": "United Arab Emirates",
+    "united arab emirates": "United Arab Emirates",
+    "germany": "Germany", "deutschland": "Germany", "fed rep ger": "Germany",
+    "viet nam": "Vietnam", "vietnam": "Vietnam",
+    "taiwan": "Taiwan", "rep of china": "Taiwan",
+    "hong kong": "Hong Kong", "macau": "Macau", "macao": "Macau",
+    "saudi arabia": "Saudi Arabia", "ksa": "Saudi Arabia",
+    "brasil": "Brazil", "brazil": "Brazil",
+    "espana": "Spain", "españa": "Spain", "spain": "Spain",
+    "cote d'ivoire": "Ivory Coast", "ivory coast": "Ivory Coast",
+}
+_G_CANONICAL_COUNTRIES = set(_G_COUNTRY_VARIANTS.values()) | {
+    "France", "Italy", "Japan", "Canada", "Australia", "India", "Mexico",
+    "Poland", "Sweden", "Norway", "Denmark", "Finland", "Belgium", "Austria",
+    "Switzerland", "Portugal", "Greece", "Ireland", "Israel", "Egypt",
+    "Pakistan", "Indonesia", "Malaysia", "Thailand", "Singapore",
+    "Philippines", "Argentina", "Chile", "Colombia", "Peru", "South Africa",
+    "Nigeria", "Kenya", "Morocco", "Romania", "Hungary", "Ukraine",
+    "Bulgaria", "Croatia", "Serbia", "Slovenia", "Slovakia", "Lithuania",
+    "Latvia", "Estonia", "Qatar", "Kuwait", "Jordan", "Lebanon", "Iraq",
+    "New Zealand", "Bangladesh", "Sri Lanka", "Nepal",
+}
+_G_CANON_LOWER = {c.lower(): c for c in _G_CANONICAL_COUNTRIES}
+_G_ORG_PREFIX = (
+    "univ", "institut", "college", "hospital", "clinic", "center", "centre",
+    "laborator", "academ", "polytech", "hochschule", "universidad",
+    "universita", "ministr", "council", "foundation", "klinik",
+)
+_G_ORG_EXACT = frozenset(
+    ("inst", "coll", "hosp", "ctr", "lab", "acad", "natl", "fdn", "sch",
+     "dept", "polytechnic", "school", "laboratory", "spital")
+)
+_G_SUBUNIT = (
+    "depart", "dept", "division", " div ", "faculty", " fac ", "school of",
+    "section", "chair", "unit", "program", "laboratory of",
+)
+_G_US_STATES = frozenset(
+    "AL AK AZ AR CA CO CT DE FL GA HI ID IL IN IA KS KY LA ME MD MA MI MN MS "
+    "MO MT NE NV NH NJ NM NY NC ND OH OK OR PA RI SC SD TN TX UT VT VA WA WV "
+    "WI WY DC".split()
+)
+
+
+def _g_canonical_country(raw) -> str | None:
+    t = re.sub(r"\s+", " ", str(raw or "")).strip().lower().rstrip(".")
+    if not t:
+        return None
+    return _G_COUNTRY_VARIANTS.get(t) or _G_CANON_LOWER.get(t)
+
+
+def _g_looks_geographic(part: str) -> bool:
+    p = part.strip()
+    if not p:
+        return True
+    if re.search(r"\d{4,6}", p):
+        return True
+    return any(tk.upper() in _G_US_STATES for tk in p.replace(",", " ").split())
+
+
+def _g_is_org(part: str) -> bool:
+    toks = re.findall(r"[a-zçğıöşü]+", str(part).lower())
+    if not toks:
+        return False
+    if any(t in _G_ORG_EXACT for t in toks):
+        return True
+    return any(t.startswith(pfx) for t in toks for pfx in _G_ORG_PREFIX)
+
+
+def _g_is_subunit(part: str) -> bool:
+    low = part.lower()
+    return any(kw in low for kw in _G_SUBUNIT)
+
+
+def _g_split_c1(cell) -> list[str]:
+    """Bracket-aware ';' split — semicolons inside '[...]' do not split."""
+    out, cur, depth = [], "", 0
+    for ch in str(cell or ""):
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+        if ch == ";" and depth == 0:
+            if cur.strip():
+                out.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        out.append(cur.strip())
+    return out
+
+
+def _g_parse_address(addr) -> dict:
+    """(authors, institution, country) per the reference's extraction rules
+    (country = last comma part iff canonical; strip trailing geography;
+    institution = rightmost org part preferring non-subunits; never guess)."""
+    raw = str(addr or "")
+    m = re.match(r"^\s*\[([^\]]*)\]\s*(.*)$", raw, re.S)
+    authors, rest = (m.group(1).strip(), m.group(2).strip()) if m else ("", raw)
+    parts = [p.strip() for p in rest.split(",") if p.strip()]
+    country = None
+    if parts:
+        c = _g_canonical_country(parts[-1])
+        if c is not None:
+            country = c
+            parts = parts[:-1]
+    while parts and _g_looks_geographic(parts[-1]):
+        parts.pop()
+    institution = None
+    for p in reversed(parts):
+        if _g_is_org(p) and not _g_is_subunit(p):
+            institution = p
+            break
+    if institution is None:
+        for p in reversed(parts):
+            if _g_is_org(p):
+                institution = p
+                break
+    return {"authors": authors, "institution": institution,
+            "country": country, "raw": raw}
+
+
+def _g_simhash_pairs(conv: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
+    """All-pairs SimHash Hamming <= max over (text + role/tool sequence) —
+    independent replica of the engine's fuzzy-field pass feature recipe."""
+    feat = _g_norm_series(
+        conv["doc"] + " " + conv["roles"].fillna("") + " " + conv["tools"].fillna(""),
+        cfg,
+    )
+    sims = [_g_simhash(s) for s in feat]
+    ids = conv["conv_id"].tolist()
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = _g_hamming(sims[i], sims[j])
+            if d <= cfg.simhash_hamming_max:
+                a, b = sorted((ids[i], ids[j]))
+                out.append((a, b, d))
+    return pd.DataFrame(out, columns=["a_id", "b_id", "hamming"])
+
+
+# ---------------------------------------------------------------------------
+# transcript dedup family (independent kernels, independent pipeline)
 # ---------------------------------------------------------------------------
 
 def _threshold_fraction(t: float) -> tuple[int, int]:
@@ -137,8 +518,8 @@ def _lsh_pairs(ids: list, shingles: list[np.ndarray], cfg: DedupConfig,
     instead when the Spark side would pick its rep by surrogate-id order
     (transcripts pipeline) — the golden cannot reproduce that choice."""
     cap = hot_cap if hot_cap is not None else cfg.hot_band_cap
-    sig = kernels.minhash_signatures(shingles, cfg)
-    bands = kernels.band_hashes(sig, cfg)  # (n, bands) int64
+    sig = _g_signatures(shingles, cfg)
+    bands = _g_band_hashes(sig, cfg)  # (n, bands) int64
     buckets: dict[tuple[int, int], list[int]] = {}
     for i in range(len(ids)):
         for bi in range(cfg.bands):
@@ -176,9 +557,9 @@ def build_transcript_goldens() -> dict[str, pd.DataFrame]:
     turns = pd.read_parquet(corpus.corpus_path_for_sf(SF_DIR))
     conv = oracle.assemble(turns)
     ids = conv["conv_id"].tolist()
-    norm = kernels.normalize_text(conv["doc"], cfg)
-    sha = kernels.content_sha256(norm).tolist()
-    shingles = kernels.shingle_sets(norm, cfg)
+    norm = _g_norm_series(conv["doc"], cfg)
+    sha = _g_sha256_series(norm).tolist()
+    shingles = _g_shingle_sets(norm, cfg)
 
     # exact groups: rep = min conv_id per content hash
     by_sha: dict[str, list[int]] = {}
@@ -205,7 +586,7 @@ def build_transcript_goldens() -> dict[str, pd.DataFrame]:
     )
     clusters = oracle.transitive_closure(ids, pairs_df)
 
-    sim_pairs = oracle.simhash_pairs(conv, cfg)
+    sim_pairs = _g_simhash_pairs(conv, cfg)
 
     return {
         "t_minhash_dup_pairs": dup_pairs,
@@ -222,8 +603,8 @@ def build_document_goldens() -> dict[str, pd.DataFrame]:
     cfg = CANONICAL
     d = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
     ids = d["doc_id"].tolist()  # int64 — Spark's a<b ordering is numeric
-    norm = kernels.normalize_text(d["text"], cfg)
-    shingles = kernels.shingle_sets(norm, cfg)
+    norm = _g_norm_series(d["text"], cfg)
+    shingles = _g_shingle_sets(norm, cfg)
 
     dup = _lsh_pairs(ids, shingles, cfg)
     lsh_pairs = pd.DataFrame(
@@ -231,7 +612,10 @@ def build_document_goldens() -> dict[str, pd.DataFrame]:
     )
 
     simhash = pd.DataFrame(
-        {"doc_id": d["doc_id"], "simhash": kernels.simhash64(norm, cfg)}
+        {
+            "doc_id": d["doc_id"],
+            "simhash": np.array([_g_simhash(s) for s in norm], dtype=np.uint64).view(np.int64),
+        }
     )
 
     # d_rolling_fingerprint: SQL-style normalization (the query's
@@ -240,7 +624,7 @@ def build_document_goldens() -> dict[str, pd.DataFrame]:
         d["text"].fillna("").astype(str).str.lower()
         .str.replace(r"[^a-z0-9]+", " ", regex=True).str.strip()
     )
-    fps = kernels.rolling_fingerprints(sql_norm)
+    fps = _g_winnow_series(sql_norm)
     rolling = pd.DataFrame(
         {
             "doc_id": d["doc_id"],
@@ -278,7 +662,7 @@ def build_document_goldens() -> dict[str, pd.DataFrame]:
     return {
         "d_minhash_lsh_pairs": lsh_pairs,
         "d_simhash": simhash,
-        "d_rolling_fingerprint": rolling,
+        "d_fingerprints_winnow": rolling,
         "d_winnow_overlap_pairs": overlap,
     }
 
@@ -511,7 +895,7 @@ def _compute_match_pd(w: dict, s: dict) -> tuple[int, float] | None:
     if w["_doi"] and s["_doi"] and w["_doi"] == s["_doi"]:
         return (1, 1.0)
     if w["_title"] and s["_title"]:
-        jw = jaro_winkler(w["_title"], s["_title"])
+        jw = _g_jaro_winkler(w["_title"], s["_title"])
         year_ok = (
             w["_year"] is not None and s["_year"] is not None
             and abs(w["_year"] - s["_year"]) <= 1
@@ -560,21 +944,19 @@ def build_smart_merge_golden(wos_df: pd.DataFrame, scp_df: pd.DataFrame) -> pd.D
             if m and m[0] != 5:
                 scored.append((w, s, m[0], m[1]))
 
-    # symmetric best match (rank by -confidence, partner id asc)
-    best_w: dict[str, tuple] = {}
-    best_s: dict[str, tuple] = {}
-    for w, s, st, conf in scored:
-        kw = (-conf, s["id"])
-        if w["id"] not in best_w or kw < best_w[w["id"]][0]:
-            best_w[w["id"]] = (kw, s["id"])
-        ks = (-conf, w["id"])
-        if s["id"] not in best_s or ks < best_s[s["id"]][0]:
-            best_s[s["id"]] = (ks, w["id"])
-    assigned = [
-        (w, s, st, conf)
-        for w, s, st, conf in scored
-        if best_w[w["id"]][1] == s["id"] and best_s[s["id"]][1] == w["id"]
-    ]
+    # exact-greedy assignment (reference smart_merger.py:654-711, parity
+    # mode): confidence desc, deterministic (w_id, s_id) tie-break
+    assigned = []
+    used_w: set[str] = set()
+    used_s: set[str] = set()
+    for w, s, st, conf in sorted(
+        scored, key=lambda x: (-x[3], x[0]["id"], x[1]["id"])
+    ):
+        if w["id"] in used_w or s["id"] in used_s:
+            continue
+        used_w.add(w["id"])
+        used_s.add(s["id"])
+        assigned.append((w, s, st, conf))
 
     out = []
     for w, s, st, conf in assigned:
@@ -640,7 +1022,7 @@ def build_disambiguation_golden(wos_df: pd.DataFrame) -> pd.DataFrame:
 
         sims = {}
         for a, b in itertools.combinations(variants, 2):
-            jw = jaro_winkler(a, b)
+            jw = _g_jaro_winkler(a, b)
             sims[(a, b)] = jw
             if jw >= 0.88:
                 ra, rb = find(a), find(b)
@@ -714,8 +1096,8 @@ def build_c1_goldens(wos_df: pd.DataFrame) -> dict[str, pd.DataFrame]:
 
     parsed_rows = []
     for rid, cell in zip(uid, cells):
-        for pos, addr in enumerate(c1.split_c1(cell)):
-            info = c1.parse_address(addr)
+        for pos, addr in enumerate(_g_split_c1(cell)):
+            info = _g_parse_address(addr)
             parsed_rows.append(
                 {
                     "UID": rid,
@@ -726,15 +1108,6 @@ def build_c1_goldens(wos_df: pd.DataFrame) -> dict[str, pd.DataFrame]:
             )
     parsed = pd.DataFrame(parsed_rows)
 
-    counts = (
-        parsed[parsed["country"].notna()]
-        .groupby("country")["UID"]
-        .nunique()
-        .reset_index()
-        .rename(columns={"UID": "n_records"})
-    )
-    counts["n_records"] = counts["n_records"].astype(np.int64)
-
     # country blocks (build_country_blocks semantics)
     tok_rows = []
     for rid, cell in zip(uid, cells):
@@ -744,7 +1117,7 @@ def build_c1_goldens(wos_df: pd.DataFrame) -> dict[str, pd.DataFrame]:
             if parts:
                 tok_rows.append({"UID": rid, "token": parts[-1]})
     toks = pd.DataFrame(tok_rows)
-    toks["canonical"] = toks["token"].map(c1.canonical_country)
+    toks["canonical"] = toks["token"].map(_g_canonical_country)
     res = toks[toks["canonical"].notna()]
     t1 = (
         res.groupby("canonical")
@@ -761,7 +1134,7 @@ def build_c1_goldens(wos_df: pd.DataFrame) -> dict[str, pd.DataFrame]:
     t1 = t1[keep].assign(tier=np.int32(1))
     unres = toks[toks["canonical"].isna()]
     _orgish = unres["token"].map(
-        lambda t: c1._is_org(str(t)) or any(ch.isdigit() for ch in str(t))
+        lambda t: _g_is_org(str(t)) or any(ch.isdigit() for ch in str(t))
     ).astype(bool)
     unres = unres[~_orgish]
     t2 = (
@@ -813,7 +1186,7 @@ def build_c1_goldens(wos_df: pd.DataFrame) -> dict[str, pd.DataFrame]:
             return x
 
         for a, b in itertools.combinations(variants, 2):
-            if jaro_winkler(a, b) >= 0.85:
+            if _g_jaro_winkler(a, b) >= 0.85:
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     lo, hi = sorted((ra, rb))
@@ -824,7 +1197,7 @@ def build_c1_goldens(wos_df: pd.DataFrame) -> dict[str, pd.DataFrame]:
             if len(norms) < 2:
                 continue
             mjw = min(
-                jaro_winkler(a, b) for a, b in itertools.combinations(sorted(norms), 2)
+                _g_jaro_winkler(a, b) for a, b in itertools.combinations(sorted(norms), 2)
             )
             ab_rows.append(
                 {
@@ -917,8 +1290,8 @@ def build_c1_goldens(wos_df: pd.DataFrame) -> dict[str, pd.DataFrame]:
     # org rollup blocks (build_org_rollup semantics)
     org_rows = []
     for rid, cell in zip(uid, cells):
-        for addr in c1.split_c1(cell):
-            info = c1.parse_address(addr)
+        for addr in _g_split_c1(cell):
+            info = _g_parse_address(addr)
             inst = info["institution"]
             if not inst:
                 continue
@@ -948,7 +1321,7 @@ def build_c1_goldens(wos_df: pd.DataFrame) -> dict[str, pd.DataFrame]:
             return x
 
         for a, b in itertools.combinations(variants, 2):
-            if jaro_winkler(a, b) >= 0.85:
+            if _g_jaro_winkler(a, b) >= 0.85:
                 ra, rb = find2(a), find2(b)
                 if ra != rb:
                     lo, hi = sorted((ra, rb))
@@ -966,7 +1339,7 @@ def build_c1_goldens(wos_df: pd.DataFrame) -> dict[str, pd.DataFrame]:
                 tier = 1
             else:
                 mjw = min(
-                    jaro_winkler(a, b)
+                    _g_jaro_winkler(a, b)
                     for a, b in itertools.combinations(sorted(norms), 2)
                 )
                 tier = 1 if mjw >= 0.95 else 2
@@ -988,7 +1361,6 @@ def build_c1_goldens(wos_df: pd.DataFrame) -> dict[str, pd.DataFrame]:
 
     return {
         "q_c1_parsed": parsed,
-        "q_c1_countries": counts,
         "q_country_blocks": cb,
         "s_affiliation_blocks": ab,
         "s_author_splits": splits,

@@ -228,6 +228,44 @@ def assign_one_to_one(scored: DataFrame) -> DataFrame:
     )
 
 
+def assign_one_to_one_greedy(scored: DataFrame) -> DataFrame:
+    """EXACT-GREEDY parity mode (reference smart_merger.py:654-711):
+    confidence-ordered greedy 1:1 assignment, deterministic tie-break
+    (-confidence, w_id, s_id).
+
+    Every candidate pair lives inside one blocking key (both endpoints carry
+    the same (year, initial) key by construction, candidate_pairs above), so
+    the greedy conflict graph never crosses blocks and PER-BLOCK greedy via
+    ``applyInPandas`` equals the reference's global confidence-ordered loop —
+    distributed, one shuffle on block_key.  Divergence from the reference is
+    limited to pairs with EXACTLY equal confidence, where the reference's
+    order is its frame row order (an implementation artifact); ours is the
+    deterministic (w_id, s_id).  On contested blocks (A's best is B while
+    B's best is C) greedy matches by global confidence order where symmetric
+    best match drops the asymmetric pair — golden-fixture-tested in
+    tests/test_smart_merge.py."""
+    matches = scored.filter(~F.col("is_borderline"))
+    schema = matches.schema
+
+    def _greedy(pdf):
+        pdf = pdf.sort_values(
+            ["confidence", "w_id", "s_id"], ascending=[False, True, True],
+            kind="mergesort",
+        )
+        used_w: set = set()
+        used_s: set = set()
+        keep = []
+        for i, w, s in zip(pdf.index, pdf["w_id"], pdf["s_id"]):
+            if w in used_w or s in used_s:
+                continue
+            used_w.add(w)
+            used_s.add(s)
+            keep.append(i)
+        return pdf.loc[keep]
+
+    return matches.groupBy("block_key").applyInPandas(_greedy, schema=schema)
+
+
 def merge_matched(assigned: DataFrame, fields: list[str]) -> DataFrame:
     """Per-field preference merge + conflict struct array
     (smart_merger.py:388-458, conflict log :717-736)."""
@@ -274,10 +312,18 @@ def merge_matched(assigned: DataFrame, fields: list[str]) -> DataFrame:
     return assigned.select(*cols)
 
 
-def run_smart_merge(wos: DataFrame, scp: DataFrame) -> dict[str, DataFrame]:
+def run_smart_merge(
+    wos: DataFrame, scp: DataFrame, assignment: str = "symmetric"
+) -> dict[str, DataFrame]:
     """Full merge: returns merged / lost_wos / lost_scopus / borderline /
     conflict_log / match_audit DataFrames (the analysis-folder artifact set,
-    smart_merger.py:761-779)."""
+    smart_merger.py:761-779).
+
+    ``assignment``: 'symmetric' (default — order-independent symmetric best
+    match, the scale-native fixpoint) or 'greedy' (exact reference parity:
+    confidence-ordered greedy per block, smart_merger.py:654-711; the
+    borderline queue then also follows the reference — pairs whose endpoint
+    was consumed by a definite match are dropped from the queue)."""
     # callers may supply a stable ``_row_id`` (e.g. a natural key) — the
     # golden-oracle path depends on reproducible ids; otherwise derive one
     # from a content hash
@@ -299,7 +345,12 @@ def run_smart_merge(wos: DataFrame, scp: DataFrame) -> dict[str, DataFrame]:
     )
     pairs = candidate_pairs(wos, scp)
     scored = score_pairs(pairs).persist()
-    assigned = assign_one_to_one(scored).persist()
+    if assignment == "greedy":
+        assigned = assign_one_to_one_greedy(scored).persist()
+    elif assignment == "symmetric":
+        assigned = assign_one_to_one(scored).persist()
+    else:
+        raise ValueError(f"unknown assignment mode: {assignment!r}")
 
     merged = merge_matched(assigned, shared_fields)
     matched_w = assigned.select(F.col("w_id").alias("_row_id"))
@@ -311,6 +362,14 @@ def run_smart_merge(wos: DataFrame, scp: DataFrame) -> dict[str, DataFrame]:
         "w_id", "s_id", "confidence", "_title_jw",
         *[c for c in ("wTI", "sTI", "wDI", "sDI") if c in scored.columns],
     )
+    if assignment == "greedy":
+        # reference loop order: every definite confidence (>= 0.90) outranks
+        # every borderline one (<= 0.85), so a borderline pair enqueues iff
+        # neither endpoint was consumed by a definite match
+        borderline = borderline.join(matched_w.withColumnRenamed("_row_id", "w_id"),
+                                     "w_id", "left_anti")
+        borderline = borderline.join(matched_s.withColumnRenamed("_row_id", "s_id"),
+                                     "s_id", "left_anti")
     conflict_log = merged.select(
         "w_id", "s_id", F.explode("_conflicts").alias("c")
     ).select("w_id", "s_id", "c.field", "c.wos_value", "c.scopus_value")

@@ -181,3 +181,90 @@ def test_counts_add_up(result):
     n_m = len(result["merged"])
     assert len(result["lost_wos"]) == n_w - n_m
     assert len(result["lost_scopus"]) == n_s - n_m
+
+
+# -- exact-greedy parity mode (reference smart_merger.py:654-711) -------------
+
+def _contested_block(spark):
+    """A contested A-B-C chain inside one (year, initial) block:
+
+      (w1, s2)  stage 2 PMID exact, conf 0.99
+      (w1, s1)  stage 3 title JW,   conf 0.95
+      (w2, s1)  stage 3 title JW,   conf 0.95
+
+    Reference greedy (confidence order): w1 takes s2, then s1 falls to w2 ->
+    TWO matches.  Symmetric best match: s1's best is w1 (tie-break w_id asc),
+    which is taken by s2 -> the (w2, s1) pair is asymmetric and drops -> ONE
+    match.  This is the documented divergence the parity mode closes.
+    """
+    wos = spark.createDataFrame(
+        [
+            {"_row_id": "w1", "AU": "Alpha, Anne",
+             "TI": "Transcript deduplication with minhash signatures at scale",
+             "PY": "2021", "DI": "", "PM": "100"},
+            {"_row_id": "w2", "AU": "Alpha, Carl",
+             "TI": "Transcript deduplication with minhash signature at scales",
+             "PY": "2021", "DI": "", "PM": ""},
+        ]
+    )
+    scp = spark.createDataFrame(
+        [
+            {"_row_id": "s1", "AU": "Alpha, Bob",
+             "TI": "Transcript deduplication with minhash signatures at scales",
+             "PY": "2021", "DI": "", "PM": ""},
+            {"_row_id": "s2", "AU": "Alpha, Dana",
+             "TI": "An entirely unrelated subject matter on other things",
+             "PY": "2021", "DI": "", "PM": "100"},
+        ]
+    )
+    return wos, scp
+
+
+def test_greedy_parity_contested_block(spark):
+    wos, scp = _contested_block(spark)
+
+    sym = sm.run_smart_merge(wos, scp, assignment="symmetric")
+    sym_pairs = {
+        (r["w_id"], r["s_id"]) for r in sym["match_audit"].collect()
+    }
+    assert sym_pairs == {("w1", "s2")}  # asymmetric (w2, s1) drops
+
+    grd = sm.run_smart_merge(wos, scp, assignment="greedy")
+    audit = {(r["w_id"], r["s_id"]): r for r in grd["match_audit"].collect()}
+    # hand-computed reference greedy expectation
+    assert set(audit) == {("w1", "s2"), ("w2", "s1")}
+    assert audit[("w1", "s2")]["stage"] == 2
+    assert audit[("w1", "s2")]["confidence"] == 0.99
+    assert audit[("w2", "s1")]["stage"] == 3
+    assert audit[("w2", "s1")]["confidence"] == 0.95
+    # lost records shrink accordingly
+    assert grd["lost_wos"].count() == 0
+    assert grd["lost_scopus"].count() == 0
+
+
+def test_greedy_borderline_queue_excludes_consumed(spark):
+    """Reference loop: a borderline pair whose endpoint was consumed by a
+    definite match never enqueues (definite conf >= 0.90 > borderline)."""
+    wos = spark.createDataFrame(
+        [{"_row_id": "w1", "AU": "Alpha, Anne",
+          "TI": "Transcript deduplication with minhash signatures at scale",
+          "PY": "2021", "DI": "10.1/same", "PM": ""}]
+    )
+    scp = spark.createDataFrame(
+        [
+            # stage-1 DOI match consumes w1
+            {"_row_id": "s1", "AU": "Alpha, Bob",
+             "TI": "Transcript deduplication with minhash signatures at scales",
+             "PY": "2021", "DI": "10.1/same", "PM": ""},
+            # borderline-band title vs w1 (no ids)
+            {"_row_id": "s2", "AU": "Alpha, Dana",
+             "TI": "Transcripts deduplicating with hashing signature scale",
+             "PY": "2021", "DI": "", "PM": ""},
+        ]
+    )
+    grd = sm.run_smart_merge(wos, scp, assignment="greedy")
+    assert grd["match_audit"].count() == 1
+    assert grd["borderline"].count() == 0  # w1 consumed -> queue empty
+    sym = sm.run_smart_merge(wos, scp, assignment="symmetric")
+    # default mode keeps the full queue (existing behavior, documented)
+    assert sym["borderline"].count() >= grd["borderline"].count()
