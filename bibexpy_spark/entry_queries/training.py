@@ -2,9 +2,11 @@
 deduplication, similarity search, text analysis — the large-scale-pipeline
 surface beyond the reference's own operators (driver brief).
 
-SQL-expressible variants carry DuckDB oracles; the probabilistic/kernel
-variants (MinHash-LSH, SimHash) are rows-only here and oracle-checked in
-pytest against the shared-kernel brute force (tests/test_training_ops.py).
+SQL-expressible variants carry inline DuckDB-SQL oracles; the
+probabilistic/kernel variants (MinHash-LSH, SimHash, winnowing, ANN) carry
+golden-parquet oracles recomputed by the fully independent single-process
+implementation in bibexpy_spark.golden (plus pytest brute-force recall
+gates in tests/test_training_ops.py).
 """
 
 from __future__ import annotations
@@ -351,6 +353,8 @@ def e_lsh_ann(spark, sf_dir, k: int = 5, n_queries: int = 10,
     recall/candidate tradeoff: per-table collision = (1-θ/π)^p, overall
     1-(1-x)^L.  Rows-only driver check; recall-vs-bruteforce in pytest."""
     e = _t(spark, sf_dir, "embeddings")
+    # driver touch ceiling: ONE row fetched to size the plane matrix — O(dim)
+    # bytes to the driver, never O(n); at 10^12 rows this stays one row
     dim = len(e.select("embedding").first()[0])
     rng = np.random.default_rng(CANONICAL.minhash_seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
@@ -412,22 +416,12 @@ def e_lsh_ann(spark, sf_dir, k: int = 5, n_queries: int = 10,
     )
 
 
-def e_cosine_lsh(spark, sf_dir, threshold: float = 0.4,
-                 n_planes: int = 6, n_tables: int = 64):
-    """Embedding-cosine near-dup pairs via hyperplane-LSH bucketing — the
-    SCALE PATH for e_cosine_dup_pairs (no crossJoin; candidates = pairs
-    colliding in ANY of L tables, exact cosine on candidates only).
-
-    Parameter note (honest S-curve): this fixture's duplicate pairs sit at
-    cos ~0.45, near the hyperplane-LSH crossover (per-plane collision
-    1-θ/π ≈ 0.65), so p=6/L=64 is needed for recall 1.0 and still admits
-    ~63% of all pairs as candidates at sf0.01.  For the realistic embedding-
-    dedup regime (near-dups at cos >= 0.8, per-plane >= 0.85) the same
-    operator with p=16/L=32 gives sub-1% candidate rates — the knobs trade
-    recall for candidate volume and the choice is corpus-dependent.
-    Oracle: golden parquet from the identical deterministic algorithm.
-    """
+def _cosine_lsh_candidates(spark, sf_dir, n_planes: int, n_tables: int):
+    """Hyperplane-LSH candidate pairs (deduped across tables) + corpus size.
+    Shared by the pair query and the candidate-rate guardrail."""
     e = _t(spark, sf_dir, "embeddings")
+    # driver touch ceiling: ONE row fetched to size the plane matrix — O(dim)
+    # bytes to the driver, never O(n); at 10^12 rows this stays one row
     dim = len(e.select("embedding").first()[0])
     rng = np.random.default_rng(CANONICAL.minhash_seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
@@ -452,6 +446,33 @@ def e_cosine_lsh(spark, sf_dir, threshold: float = 0.4,
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"),
         "tbl", "bucket",
     )
+    j = (
+        a.join(c, ["tbl", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return j, e
+
+
+def e_cosine_lsh(spark, sf_dir, threshold: float = 0.4,
+                 n_planes: int = 6, n_tables: int = 64):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH bucketing — the
+    SCALE PATH for e_cosine_dup_pairs (no crossJoin; candidates = pairs
+    colliding in ANY of L tables, exact cosine on candidates only).
+
+    Parameter note (honest S-curve): this fixture's duplicate pairs sit at
+    cos ~0.45, near the hyperplane-LSH crossover (per-plane collision
+    1-θ/π ≈ 0.65), so p=6/L=64 is needed for recall 1.0 and still admits
+    ~63% of all pairs as candidates at sf0.01.  For the realistic embedding-
+    dedup regime (near-dups at cos >= 0.8, per-plane >= 0.85) the same
+    operator with p=16/L=32 gives sub-1% candidate rates — the knobs trade
+    recall for candidate volume and the choice is corpus-dependent.
+    The tradeoff is MEASURED, never silent: e_cosine_lsh_stats returns the
+    realized candidate rate and flags rates above a configurable ceiling
+    (VERDICT r2 guardrail).  Oracle: golden parquet from the identical
+    deterministic algorithm.
+    """
+    j, _ = _cosine_lsh_candidates(spark, sf_dir, n_planes, n_tables)
 
     def dot(x, y):
         return F.aggregate(
@@ -460,11 +481,6 @@ def e_cosine_lsh(spark, sf_dir, threshold: float = 0.4,
             lambda acc, v: acc + v,
         )
 
-    j = (
-        a.join(c, ["tbl", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-    )
     j = j.withColumn(
         "cos",
         F.round(
@@ -477,6 +493,55 @@ def e_cosine_lsh(spark, sf_dir, threshold: float = 0.4,
         ),
     )
     return j.filter(F.col("cos") >= threshold).select("a_id", "b_id", "cos")
+
+
+def e_cosine_lsh_stats(spark, sf_dir, n_planes: int = 6, n_tables: int = 64,
+                       warn_rate: float = 0.05):
+    """Candidate-rate guardrail for e_cosine_lsh (the band_stats analogue):
+    one row (n_vectors, n_candidate_pairs, total_pairs, candidate_rate,
+    high_candidate_rate).  A rate above ``warn_rate`` means the knobs admit
+    near-all-pairs cost at this corpus's similarity regime — raise n_planes
+    (steeper S-curve) or accept the cost knowingly."""
+    j, e = _cosine_lsh_candidates(spark, sf_dir, n_planes, n_tables)
+    n_cand = j.agg(F.count("*").alias("n")).select(
+        F.col("n").alias("n_candidate_pairs")
+    )
+    n_vec = e.agg(F.count("*").alias("n_vectors"))
+    stats = n_vec.crossJoin(n_cand).select(
+        "n_vectors",
+        "n_candidate_pairs",
+        (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2)
+        .cast("long").alias("total_pairs"),
+    )
+    return stats.select(
+        "*",
+        F.round(F.col("n_candidate_pairs") / F.col("total_pairs"), 4).alias(
+            "candidate_rate"
+        ),
+        (
+            F.col("n_candidate_pairs") / F.col("total_pairs") > warn_rate
+        ).alias("high_candidate_rate"),
+    )
+
+
+def check_cosine_lsh_rate(spark, sf_dir, n_planes: int = 6, n_tables: int = 64,
+                          warn_rate: float = 0.05) -> dict:
+    """Materialize the guardrail and WARN when the rate exceeds the ceiling
+    (logged, not raised — the operator stays correct, just expensive)."""
+    import warnings
+
+    row = e_cosine_lsh_stats(
+        spark, sf_dir, n_planes, n_tables, warn_rate
+    ).first().asDict()
+    if row["high_candidate_rate"]:
+        warnings.warn(
+            f"e_cosine_lsh candidate rate {row['candidate_rate']:.1%} of all "
+            f"pairs ({row['n_candidate_pairs']}/{row['total_pairs']}) exceeds "
+            f"{warn_rate:.0%} — p={n_planes}/L={n_tables} admits near-all-pairs "
+            "cost at this similarity regime; raise n_planes or accept the cost",
+            stacklevel=2,
+        )
+    return row
 
 
 def e_cosine_dup_pairs(spark, sf_dir, threshold: float = 0.4):

@@ -31,23 +31,39 @@ from pyspark.sql import DataFrame, SparkSession
 from bibexpy_spark.config import DedupConfig
 
 
-def input_token_for_paths(*paths: str) -> str:
-    """Cheap input fingerprint: (path, size, mtime) of every file — the
-    parquet stand-in for an Iceberg snapshot id."""
+def input_token_for_paths(*paths: str, content_hash: bool = False) -> str:
+    """Input fingerprint — the parquet stand-in for an Iceberg snapshot id.
+
+    Default mode is the cheap (path, size, mtime) triple per file.  With
+    ``content_hash=True`` the token hashes the file CONTENT instead
+    (streamed sha256) — closing the staleness gap mtime cannot see (a file
+    rewritten with identical size and a restored mtime still changes the
+    token, exactly as a new Iceberg snapshot id would).  Content mode costs
+    one read of the inputs; use it where correctness of resume matters more
+    than token cost (an Iceberg runtime would give this for free via
+    snapshot ids — no jar ships in this sandbox, probed r3).
+    """
+    import hashlib
+
+    def _file_part(fp: str) -> str:
+        st = os.stat(fp)
+        if not content_hash:
+            return f"{fp}:{st.st_size}:{int(st.st_mtime)}"
+        h = hashlib.sha256()
+        with open(fp, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return f"{fp}:{st.st_size}:{h.hexdigest()}"
+
     parts = []
     for p in sorted(paths):
         if os.path.isdir(p):
             for f in sorted(os.listdir(p)):
-                fp = os.path.join(p, f)
-                st = os.stat(fp)
-                parts.append(f"{fp}:{st.st_size}:{int(st.st_mtime)}")
+                parts.append(_file_part(os.path.join(p, f)))
         elif os.path.exists(p):
-            st = os.stat(p)
-            parts.append(f"{p}:{st.st_size}:{int(st.st_mtime)}")
+            parts.append(_file_part(p))
         else:
             parts.append(f"{p}:missing")
-    import hashlib
-
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 

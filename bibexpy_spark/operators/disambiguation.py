@@ -280,9 +280,23 @@ def apply_cluster_variants(records: DataFrame, mapping: dict[str, str],
     return records.withColumn(au_col, rewrite_udf(F.col(au_col)))
 
 
-def run_author_disambiguation(records: DataFrame, id_col: str = "UID") -> dict[str, DataFrame]:
+def run_author_disambiguation(
+    records: DataFrame,
+    id_col: str = "UID",
+    arbiter=None,
+    arbiter_cache: DataFrame | None = None,
+) -> dict[str, DataFrame]:
     """Full pass: mentions -> blocks -> clusters+tiers -> ORCID verdicts
-    (pipeline.py:274-498 restated)."""
+    (pipeline.py:274-498 restated).
+
+    With ``arbiter`` set (a callable payload-json -> verdict dict), Tier-2
+    ORCID-unknown proposals additionally route through the content-hash-
+    cached LLM arbitration tier (reference pipeline.py:396-410;
+    operators/llm_arbitration.py) — the returned dict then carries
+    ``arbitration_cache`` (the grown cache table to persist for the next
+    run) and the proposals gain (payload, cache_key, llm_verdict,
+    llm_source) columns.  Without an arbiter the pipeline shape is the
+    reference's no-LLM branch: unknowns stay queued for manual review."""
     mentions = extract_mentions(records, id_col)
     clustered = cluster_blocks(mentions)
     verdicts = orcid_arbitrate(clustered)
@@ -298,4 +312,11 @@ def run_author_disambiguation(records: DataFrame, id_col: str = "UID") -> dict[s
             "orcid_verdict", F.coalesce("orcid_verdict", F.lit("unknown"))
         )
     )
-    return {"mentions": mentions, "clusters": clustered, "proposals": proposals}
+    out = {"mentions": mentions, "clusters": clustered, "proposals": proposals}
+    if arbiter is not None:
+        from bibexpy_spark.operators import llm_arbitration as llm
+
+        res = llm.arbitrate_tier2_unknown(proposals, arbiter, cache=arbiter_cache)
+        out["proposals"] = res["arbitrated"]
+        out["arbitration_cache"] = res["cache"]
+    return out

@@ -9,10 +9,19 @@ sharing ONLY ubiquitous grams cannot reach a meaningful Jaccard threshold
 stays lossless for any threshold above n_hot/min_doc; the dropped-gram count
 is exposed for metrics.
 
-Phase 2 (verify): join the FULL gram sets (xxhash64-compressed to long
-arrays) and compute the exact intersection/union with JVM-native
-``array_intersect`` — whole-stage codegen, no Python, and exact w.r.t. the
-all-pairs SQL oracle.
+Phase 2 (verify): fetch the FULL gram sets (xxhash64-compressed to long
+arrays) for both pair endpoints and compute the exact intersection/union
+with JVM-native ``array_intersect`` — whole-stage codegen, no Python, and
+exact w.r.t. the all-pairs SQL oracle.
+
+Verify-join shape (round-1 observation, landed r3): the naive
+``cand ⋈ rows ⋈ rows`` chain ships the per-row gram arrays through THREE
+exchanges (rows by a_id, the array-carrying intermediate by b_id, rows by
+b_id — ~2R + P array shipments for R rows / P candidate pairs).  Instead,
+explode each pair into its two endpoint ids, join the row arrays ONCE on
+id, and regroup by the pair key: the arrays cross exactly TWO exchanges
+(R by id + 2P by pair key), strictly fewer shipments whenever P < R and
+one fewer exchange always — plan-tested in test_plan_properties.py.
 """
 
 from __future__ import annotations
@@ -98,14 +107,30 @@ def gram_jaccard_pairs(
         .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    return verify_gram_pairs(cand, hashed, t_num, t_den)
 
-    a = hashed.select(F.col("id").alias("a_id"), F.col("gh").alias("a_gh"),
-                      F.size("gh").alias("a_n"))
-    b = hashed.select(F.col("id").alias("b_id"), F.col("gh").alias("b_gh"),
-                      F.size("gh").alias("b_n"))
+
+def verify_gram_pairs(
+    cand: DataFrame, hashed: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs against the full gram
+    sets — the explode-join-regroup shape (module docstring): one array
+    exchange by id, one by pair key, never an array-carrying intermediate
+    re-shuffled on a second key."""
+    need = cand.select(
+        "a_id", "b_id",
+        F.explode(F.array(F.col("a_id"), F.col("b_id"))).alias("id"),
+    )
+    fetched = need.join(hashed, "id")
     j = (
-        cand.join(a, "a_id")
-        .join(b, "b_id")
+        fetched.groupBy("a_id", "b_id")
+        .agg(
+            # exactly two rows per pair (a_id < b_id): flag picks each side
+            F.max_by("gh", (F.col("id") == F.col("a_id")).cast("int")).alias("a_gh"),
+            F.min_by("gh", (F.col("id") == F.col("a_id")).cast("int")).alias("b_gh"),
+        )
+        .withColumn("a_n", F.size("a_gh"))
+        .withColumn("b_n", F.size("b_gh"))
         # size-ratio prefilter before the array intersection
         .filter(F.least("a_n", "b_n") * t_den >= F.greatest("a_n", "b_n") * t_num)
         .withColumn("inter", F.size(F.array_intersect("a_gh", "b_gh")).cast("long"))

@@ -36,24 +36,34 @@ def verify_pairs(
     result is bit-exact reproducible: inter/union >= t  <=>
     inter * denom >= num * union for t = num/denom.
     """
-    cols = [F.col(id_col), F.col("shingles"), F.size("shingles").alias("sh_n")]
+    cols = [F.col(id_col).alias("id"), F.col("shingles"),
+            F.size("shingles").alias("sh_n")]
     if strong_id_col:
         cols.append(F.col(strong_id_col).alias("strong_id"))
     side = signed.select(*cols)
 
-    a = side.select(
-        F.col(id_col).alias("a_id"),
-        F.col("shingles").alias("a_sh"),
-        F.col("sh_n").alias("a_n"),
-        *([F.col("strong_id").alias("a_strong")] if strong_id_col else []),
+    # explode-join-regroup (same shape as ngram.verify_gram_pairs, r3): the
+    # shingle arrays cross exactly TWO exchanges — side by id, the fetched
+    # pair rows by (a_id, b_id) — instead of the naive cand ⋈ rows ⋈ rows
+    # chain that re-shuffles the array-carrying intermediate on b_id.
+    need = pairs.select(
+        "a_id", "b_id",
+        F.explode(F.array(F.col("a_id"), F.col("b_id"))).alias("id"),
     )
-    b = side.select(
-        F.col(id_col).alias("b_id"),
-        F.col("shingles").alias("b_sh"),
-        F.col("sh_n").alias("b_n"),
-        *([F.col("strong_id").alias("b_strong")] if strong_id_col else []),
-    )
-    j = pairs.join(a, "a_id").join(b, "b_id")
+    fetched = need.join(side, "id")
+    is_a = (F.col("id") == F.col("a_id")).cast("int")
+    aggs = [
+        F.max_by("shingles", is_a).alias("a_sh"),
+        F.min_by("shingles", is_a).alias("b_sh"),
+        F.max_by("sh_n", is_a).alias("a_n"),
+        F.min_by("sh_n", is_a).alias("b_n"),
+    ]
+    if strong_id_col:
+        aggs += [
+            F.max_by("strong_id", is_a).alias("a_strong"),
+            F.min_by("strong_id", is_a).alias("b_strong"),
+        ]
+    j = fetched.groupBy("a_id", "b_id").agg(*aggs)
 
     if strong_id_col:
         # negative rule: both sides identified, ids differ -> reject early

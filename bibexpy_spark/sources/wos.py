@@ -198,6 +198,49 @@ def read_wos_tagged_splittable(spark: SparkSession, path: str) -> DataFrame:
     return _docs_to_wide(spark, docs)
 
 
+#: above this size a single export file goes through the splittable reader
+#: (wholeTextFiles holds one file per task and hits the JVM ~2 GB string
+#: ceiling long before that; 256 MiB keeps per-task memory predictable)
+SPLITTABLE_THRESHOLD_BYTES = 256 * 1024 * 1024
+
+
+def read_wos(spark: SparkSession, path: str,
+             threshold_bytes: int = SPLITTABLE_THRESHOLD_BYTES) -> DataFrame:
+    """Default WoS reader: dispatch by file size (VERDICT r2 #7).
+
+    Files at or under ``threshold_bytes`` batch through ``read_wos_tagged``
+    (one task per file — the many-medium-files shape of real exports);
+    every oversize file is read with ``read_wos_tagged_splittable`` (the
+    file itself splits at PT record boundaries across tasks).  Outputs are
+    aligned by name (a subset of files can lack some tags) and unioned.
+    Listing is driver-side metadata work over the local/posix path; for
+    object stores pass the reader choice explicitly.
+    """
+    import glob as _glob
+    import os as _os
+
+    raw = path[5:] if path.startswith("file:") else path
+    candidates = sorted(
+        p for p in _glob.glob(raw) or ([raw] if _os.path.exists(raw) else [])
+        if _os.path.isfile(p)
+    ) or ([raw] if _os.path.isfile(raw) else [])
+    if not candidates:
+        # unknown scheme / no local listing — preserve prior behavior
+        return read_wos_tagged(spark, path)
+
+    big = [p for p in candidates if _os.path.getsize(p) > threshold_bytes]
+    small = [p for p in candidates if p not in big]
+    parts: list[DataFrame] = []
+    if small:
+        parts.append(read_wos_tagged(spark, ",".join(small)))
+    for p in big:
+        parts.append(read_wos_tagged_splittable(spark, p))
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # deterministic synthetic sample (replaces the reference's bundled corpus)
 # ---------------------------------------------------------------------------

@@ -115,3 +115,48 @@ def test_ngram_index_no_cartesian(spark):
     strategies = inspect.join_strategies(pairs)
     assert "CartesianProduct" not in strategies
     assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_verify_gram_pairs_fewer_array_exchanges(spark):
+    """VERDICT r2 #9: the explode-join-regroup verify shape must carry the
+    gram arrays through FEWER exchanges than the legacy cand ⋈ rows ⋈ rows
+    chain (which re-shuffles the array-carrying intermediate on b_id)."""
+    from bibexpy_spark.operators import ngram
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    g = ngram.with_grams(d, "doc_id", "text", 3)
+    hashed = g.select(
+        "id",
+        F.array_sort(
+            F.array_distinct(F.transform("grams", lambda s: F.xxhash64(s)))
+        ).alias("gh"),
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 5), (3, 9)], "a_id long, b_id long"
+    )
+
+    def n_exchanges(df) -> int:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    # at fixture scale the optimizer broadcasts `hashed` and hides every
+    # shuffle — disable auto-broadcast so the plans show their 100-TB shape
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        new = ngram.verify_gram_pairs(cand, hashed, 1, 2)
+
+        a = hashed.select(F.col("id").alias("a_id"), F.col("gh").alias("a_gh"),
+                          F.size("gh").alias("a_n"))
+        b = hashed.select(F.col("id").alias("b_id"), F.col("gh").alias("b_gh"),
+                          F.size("gh").alias("b_n"))
+        legacy = (
+            cand.join(a, "a_id").join(b, "b_id")
+            .withColumn("inter", F.size(F.array_intersect("a_gh", "b_gh")))
+        )
+        assert n_exchanges(new) < n_exchanges(legacy)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # and the result is still exact: spot-check one known pair end-to-end
+    out = ngram.gram_jaccard_pairs(d, "doc_id", "text", 3, 1, 2)
+    assert out.count() == 25  # the oracle-checked sf0.01 answer

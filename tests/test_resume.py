@@ -120,3 +120,50 @@ def test_manifests_carry_partition_lineage(spark, tmp_path):
         m = json.load(open(os.path.join(run.run_dir, mf)))
         assert m["partitions"], f"{mf} has no partition lineage"
         assert all(p["bytes"] > 0 for p in m["partitions"])
+
+
+def test_content_hash_token_sees_through_mtime(tmp_path):
+    """VERDICT r2 #8: a file rewritten with identical size and a RESTORED
+    mtime fools the (size, mtime) token but not the content-hash token —
+    the staleness gap an Iceberg snapshot id would close."""
+    p = tmp_path / "input.txt"
+    p.write_text("aaaa")
+    st = os.stat(p)
+    t_cheap_1 = input_token_for_paths(str(p))
+    t_content_1 = input_token_for_paths(str(p), content_hash=True)
+
+    p.write_text("bbbb")  # same size, new content
+    os.utime(p, (st.st_atime, st.st_mtime))  # restore mtime exactly
+
+    assert input_token_for_paths(str(p)) == t_cheap_1  # cheap token blind
+    t_content_2 = input_token_for_paths(str(p), content_hash=True)
+    assert t_content_2 != t_content_1  # content token sees the rewrite
+
+
+def test_content_hash_token_gates_stage_freshness(spark, tmp_path):
+    """Integration: a RunContext keyed on the content token re-runs a stage
+    after an mtime-preserving rewrite; manifests carry the token."""
+    import json as _json
+
+    from bibexpy_spark.config import CANONICAL
+
+    src = tmp_path / "in.txt"
+    src.write_text("v1 content")
+    st = os.stat(src)
+    wh = str(tmp_path / "wh")
+
+    def build():
+        return spark.range(3).toDF("v")
+
+    ctx = RunContext(spark, CANONICAL, wh, run_id="r1",
+                     input_token=input_token_for_paths(str(src), content_hash=True))
+    ctx.materialize("stage_a", build)
+    assert ctx.stage_fresh("stage_a")
+    m = _json.load(open(os.path.join(ctx.run_dir, "stage_a.manifest.json")))
+    assert m["input_token"] == ctx.input_token
+
+    src.write_text("v2 content")  # same size
+    os.utime(src, (st.st_atime, st.st_mtime))
+    ctx2 = RunContext(spark, CANONICAL, wh, run_id="r1",
+                      input_token=input_token_for_paths(str(src), content_hash=True))
+    assert not ctx2.stage_fresh("stage_a")  # content change -> rerun

@@ -134,3 +134,34 @@ def test_wos_splittable_reader_matches_wholefile(spark, tmp_path_factory):
     a = a[sorted(a.columns)].reset_index(drop=True)
     b = b[sorted(b.columns)].reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_wos_default_reader_size_dispatch(spark, tmp_path_factory):
+    """read_wos dispatches by file size: a tiny threshold forces the
+    splittable path; the default keeps wholeTextFiles — identical output
+    either way (VERDICT r2 #7)."""
+    path = str(tmp_path_factory.mktemp("wos_dispatch") / "sample.txt")
+    wos.write_sample_wos(path, n_docs=25)
+
+    default = wos.read_wos(spark, path).toPandas().sort_values("doc_id")
+    forced = wos.read_wos(spark, path, threshold_bytes=1).toPandas().sort_values("doc_id")
+    assert sorted(default.columns) == sorted(forced.columns)
+    d = default[sorted(default.columns)].reset_index(drop=True)
+    f = forced[sorted(forced.columns)].reset_index(drop=True)
+    assert d.equals(f)
+    assert len(d) == 25
+
+
+def test_wos_default_reader_mixed_sizes(spark, tmp_path_factory):
+    """A directory with one oversize and one small export unions both
+    reader outputs by name."""
+    d = tmp_path_factory.mktemp("wos_mixed")
+    small = str(d / "small.txt")
+    big = str(d / "big.txt")
+    wos.write_sample_wos(small, n_docs=3)
+    wos.write_sample_wos(big, n_docs=10)
+    threshold = os.path.getsize(small)  # big exceeds, small does not
+    out = wos.read_wos(spark, str(d / "*.txt"), threshold_bytes=threshold)
+    pdf = out.toPandas()
+    assert len(pdf) == 13
+    assert pdf.groupby("file")["doc_id"].nunique().sum() == 13

@@ -101,3 +101,26 @@ def test_ivf_ann_recall_and_probe_tradeoff(spark):
     # exactness inside probed cells: reported cos equals brute-force cos
     merged = ivf4.merge(bf, on=["query_id", "cand_id"], suffixes=("_i", "_b"))
     assert (merged.cos_i == merged.cos_b).all()
+
+
+def test_cosine_lsh_candidate_rate_guardrail(spark):
+    """VERDICT r2: the fixture's ~63% candidate rate at p=6/L=64 must be
+    REPORTED (stats row + warning), never silent."""
+    import warnings
+
+    from bibexpy_spark.entry_queries.training import (
+        check_cosine_lsh_rate,
+        e_cosine_lsh_stats,
+    )
+
+    stats = e_cosine_lsh_stats(spark, SF).first().asDict()
+    assert stats["total_pairs"] == stats["n_vectors"] * (stats["n_vectors"] - 1) // 2
+    # the documented near-crossover regime: a large fraction of all pairs
+    assert 0.3 <= stats["candidate_rate"] <= 0.95
+    assert stats["high_candidate_rate"] is True
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        row = check_cosine_lsh_rate(spark, SF)
+    assert row["high_candidate_rate"] is True
+    assert any("candidate rate" in str(w.message) for w in caught)
