@@ -193,6 +193,28 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _canonical_run(spark, sf_dir)["simhash_pairs"]
 
 
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup batch-equivalence, driver-checked: split the fixture
+    70/30 on a stable conv_id hash, batch-cluster the old 70%, then fold the
+    new 30% in with run_incremental_dedup (delta-only signing, has-new bucket
+    pruning, prior clusters contracted to super-nodes).  The oracle is the
+    SAME golden parquet as t_canonical_clusters — the incremental path must
+    reproduce the full-batch clustering bit-for-bit (bibexpy_spark/
+    incremental.py docstring for the equivalence argument)."""
+    from bibexpy_spark import incremental
+
+    turns = load_turns(spark, sf_dir)
+    is_new = F.abs(F.xxhash64("conv_id")) % 10 >= 7
+    prior = pipeline.run_dedup(
+        spark, turns.filter(~is_new),
+        with_containment=False, with_simhash_pass=False,
+    )
+    incr = incremental.run_incremental_dedup(
+        spark, turns.filter(is_new), prior["signed"], prior["clusters"]
+    )
+    return incr["clusters"]
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -255,6 +277,7 @@ QUERIES = {
     "t_minhash_dup_pairs": q_minhash_dup_pairs,
     "t_canonical_clusters": q_canonical_clusters,
     "t_simhash_pairs": q_simhash_pairs,
+    "t_incremental_clusters": q_incremental_clusters,
 }
 
 ORACLES = {
@@ -322,5 +345,7 @@ ORACLES.update(
         "t_minhash_dup_pairs": _golden.oracle_sql_for("t_minhash_dup_pairs"),
         "t_canonical_clusters": _golden.oracle_sql_for("t_canonical_clusters"),
         "t_simhash_pairs": _golden.oracle_sql_for("t_simhash_pairs"),
+        # incremental must reproduce the full-batch clustering exactly
+        "t_incremental_clusters": _golden.oracle_sql_for("t_canonical_clusters"),
     }
 )

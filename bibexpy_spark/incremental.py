@@ -1,0 +1,247 @@
+"""Incremental dedup: cluster a NEW batch against an already-clustered
+corpus without recomputing the existing signatures.
+
+The operational mode at 10^12-turn scale is not one batch run but a daily
+delta: sign and candidate-join ONLY the new conversations, reuse the prior
+corpus's persisted signatures (the pipeline's ``signed`` stage table) and
+cluster assignments, and emit the updated clustering plus a remap of any
+prior clusters that merged.
+
+Batch equivalence (the correctness contract, pytest-gated in
+tests/test_incremental.py): for the same config,
+
+    run_incremental_dedup(new, prior_signed, prior_clusters)["clusters"]
+        == run_dedup(old_turns ∪ new_turns)["clusters"]
+
+holds EXACTLY whenever no LSH band bucket exceeds ``hot_band_cap`` (below
+the cap both paths enumerate identical candidate sets; cluster labels are
+min conv_id per component, invariant to which exact-duplicate acts as the
+LSH representative because same-sha rows carry identical signatures).  In
+star-fallback buckets both paths apply the same connect-to-bucket-rep
+policy, but to reps chosen from different row sets — the same documented
+approximation the batch path already makes.
+
+Scale shape:
+  * signing cost is O(|delta|), never O(|corpus|);
+  * the band join touches only buckets CONTAINING a new member (the
+    has_new flag prunes the old corpus's quiet buckets before the join);
+  * prior clusters enter connected components CONTRACTED to one super-node
+    per cluster (its cluster_id, which is already the min conv_id of its
+    members), so CC size is O(|delta| + |touched clusters|), not
+    O(|corpus|);
+  * shuffle keys are the same 128-bit surrogate structs as the batch
+    pipeline; conv_id strings only at the boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from bibexpy_spark.config import CANONICAL, DedupConfig
+from bibexpy_spark.functions import udfs
+from bibexpy_spark.operators import assembly, components, exact, lsh
+from bibexpy_spark.operators import verify as verify_op
+from bibexpy_spark.pipeline import surrogate_id
+
+_SIG_COLS = ["conv_id", "content_sha", "shingles", "band_hashes"]
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    new_turns: DataFrame,
+    prior_signed: DataFrame,
+    prior_clusters: DataFrame,
+    cfg: DedupConfig = CANONICAL,
+) -> dict[str, Any]:
+    """Cluster ``new_turns`` against the prior corpus state.
+
+    ``prior_signed``   the batch pipeline's ``signed`` output (or stage
+                       table): conv_id, content_sha, shingles, band_hashes.
+    ``prior_clusters`` its ``clusters`` output: conv_id, cluster_id (the
+                       cluster_id is the min conv_id of the cluster).
+
+    Returns: signed_new, clusters (full updated assignment over old ∪ new),
+    cluster_remap (prior cluster_id -> new cluster_id, only rows that
+    changed), dup_edges_new, stats (one-row DataFrame).
+    """
+    conv = assembly.assemble_docs(new_turns, include_roles_tools=False)
+    signed_new = (
+        udfs.with_signature_columns(conv, cfg, text_col="doc")
+        .drop("doc")
+        .persist()
+    )
+    new = signed_new.select(*_SIG_COLS)
+    old = prior_signed.select(*_SIG_COLS)
+
+    # prior exact representatives: one row per distinct old content hash
+    # (map-side-combinable agg over the narrow (sha, id) projection)
+    old_rep_ids = old.groupBy("content_sha").agg(F.min("conv_id").alias("conv_id"))
+    old_reps = old.join(old_rep_ids, ["content_sha", "conv_id"])
+
+    # 1) cross-batch exact duplicates: new rows whose sha exists in the old
+    #    corpus attach to the old representative and skip the fuzzy path
+    #    entirely (identical signatures add no connectivity)
+    sha_match = new.select("conv_id", "content_sha").join(
+        old_rep_ids.select(
+            "content_sha", F.col("conv_id").alias("_old_rep")
+        ),
+        "content_sha",
+    )
+    cross_exact_edges = sha_match.select(
+        F.col("_old_rep").alias("a_id"), F.col("conv_id").alias("b_id")
+    )
+    new_um = new.join(sha_match.select("conv_id"), "conv_id", "left_anti")
+
+    # 2) within-batch exact groups among the remaining new rows
+    grouped = exact.exact_groups(new_um)
+    new_exact_edges = exact.exact_edges(grouped)
+    new_reps = exact.representatives(grouped).select(*_SIG_COLS)
+
+    # 3) LSH band join, delta-driven: only buckets containing >= 1 new rep
+    #    participate; within them, new members pair with every co-member
+    #    (small buckets) or with the bucket representative (star fallback —
+    #    including old members when the rep itself is new, matching the
+    #    batch policy's edge set for the combined corpus)
+    combined = (
+        old_reps.withColumn("_is_new", F.lit(False))
+        .unionByName(new_reps.withColumn("_is_new", F.lit(True)))
+        .persist()
+    )
+    ex_all = combined.select(
+        "conv_id", "_is_new", F.posexplode("band_hashes").alias("band_idx", "band_hash")
+    )
+    buckets = ex_all.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bucket_n"),
+        F.min("conv_id").alias("bucket_rep"),
+        F.max("_is_new").alias("_has_new"),
+    )
+    active = buckets.filter((F.col("bucket_n") >= 2) & F.col("_has_new"))
+    ex2 = ex_all.join(active, ["band_idx", "band_hash"]).persist()
+
+    small = ex2.filter(F.col("bucket_n") <= cfg.hot_band_cap)
+    a = small.filter("_is_new").select(
+        "band_idx", "band_hash", F.col("conv_id").alias("x_id")
+    )
+    b = small.select("band_idx", "band_hash", F.col("conv_id").alias("y_id"))
+    small_pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("x_id") != F.col("y_id"))
+        .select(
+            F.least("x_id", "y_id").alias("a_id"),
+            F.greatest("x_id", "y_id").alias("b_id"),
+        )
+    )
+    hot = ex2.filter(F.col("bucket_n") > cfg.hot_band_cap)
+    hot_pairs = (
+        hot.withColumn(
+            "_rep_new",
+            F.max(
+                F.when(F.col("conv_id") == F.col("bucket_rep"), F.col("_is_new"))
+            ).over(W.partitionBy("band_idx", "band_hash")),
+        )
+        .filter(
+            (F.col("conv_id") != F.col("bucket_rep"))
+            & (F.col("_is_new") | F.coalesce(F.col("_rep_new"), F.lit(False)))
+        )
+        .select(
+            F.least("conv_id", "bucket_rep").alias("a_id"),
+            F.greatest("conv_id", "bucket_rep").alias("b_id"),
+        )
+    )
+    cand = (
+        small_pairs.unionByName(hot_pairs).dropDuplicates(["a_id", "b_id"])
+    )
+
+    # 4) exact Jaccard verification against the combined rep signatures
+    verified = verify_op.verify_pairs(cand, combined, cfg, id_col="conv_id")
+    dup_edges = verified.filter(F.col("is_dup")).select("a_id", "b_id")
+
+    # 5) connected components with prior clusters contracted to super-nodes:
+    #    old endpoints map to their prior cluster_id (already the member
+    #    minimum, so component labels stay global min conv_id)
+    old_map = prior_clusters.select(
+        F.col("conv_id").alias("_oc"), F.col("cluster_id").alias("_ocl")
+    )
+
+    def _contract(edges: DataFrame) -> DataFrame:
+        e = edges.join(
+            old_map.withColumnRenamed("_oc", "a_id").withColumnRenamed("_ocl", "_acl"),
+            "a_id", "left",
+        ).join(
+            old_map.withColumnRenamed("_oc", "b_id").withColumnRenamed("_ocl", "_bcl"),
+            "b_id", "left",
+        )
+        return e.select(
+            F.coalesce("_acl", "a_id").alias("a_key"),
+            F.coalesce("_bcl", "b_id").alias("b_key"),
+        ).filter(F.col("a_key") != F.col("b_key"))
+
+    all_edges = (
+        _contract(cross_exact_edges)
+        .unionByName(_contract(new_exact_edges))
+        .unionByName(_contract(dup_edges))
+    )
+    nodes = (
+        signed_new.select(F.col("conv_id").alias("key"))
+        .unionByName(prior_clusters.select(F.col("cluster_id").alias("key")).distinct())
+        .distinct()
+    )
+
+    nid_edges = all_edges.select(
+        surrogate_id(F.col("a_key")).alias("a_id"),
+        surrogate_id(F.col("b_key")).alias("b_id"),
+    )
+    nid_nodes = nodes.select("key", surrogate_id(F.col("key")).alias("nid"))
+    cl_nid = components.connected_components(
+        nid_edges, nid_nodes.select("nid"), cfg, id_col="nid"
+    )
+    lab = cl_nid.join(nid_nodes, "nid")
+    label_min = lab.groupBy("cluster_id").agg(F.min("key").alias("_label"))
+    key_label = lab.join(label_min, "cluster_id").select("key", "_label")
+
+    remap = (
+        prior_clusters.select(F.col("cluster_id").alias("key")).distinct()
+        .join(key_label, "key")
+        .filter(F.col("key") != F.col("_label"))
+        .select(
+            F.col("key").alias("old_cluster_id"),
+            F.col("_label").alias("cluster_id"),
+        )
+    )
+    prior_updated = (
+        prior_clusters.join(
+            remap.select(
+                F.col("old_cluster_id").alias("cluster_id"),
+                F.col("cluster_id").alias("_new"),
+            ),
+            "cluster_id", "left",
+        )
+        .select("conv_id", F.coalesce("_new", "cluster_id").alias("cluster_id"))
+    )
+    new_clusters = (
+        signed_new.select("conv_id")
+        .join(key_label, signed_new["conv_id"] == key_label["key"])
+        .select("conv_id", F.col("_label").alias("cluster_id"))
+    )
+    clusters = prior_updated.unionByName(new_clusters)
+
+    stats = (
+        signed_new.agg(F.count("*").alias("n_new"))
+        .crossJoin(sha_match.agg(F.count("*").alias("n_cross_exact")))
+        .crossJoin(new_reps.agg(F.count("*").alias("n_new_reps")))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(dup_edges.agg(F.count("*").alias("n_dup_edges")))
+        .crossJoin(remap.agg(F.count("*").alias("n_merged_prior_clusters")))
+    )
+    return {
+        "signed_new": signed_new,
+        "clusters": clusters,
+        "cluster_remap": remap,
+        "dup_edges_new": dup_edges,
+        "candidate_pairs": cand,
+        "stats": stats,
+    }
