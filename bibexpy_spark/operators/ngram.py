@@ -1,13 +1,16 @@
 """n-gram Jaccard near-dup pairs: lossless two-phase plan.
 
-Phase 1 (candidates): inverted-index equi-join on grams, but only grams with
-document frequency <= ``df_cap`` participate — ubiquitous "stopword grams"
-(the hot-band analogue of the reference's empty-key block pile-up,
-smart_merger.py:189-197) would otherwise generate O(df²) pairs.  A pair
-sharing ONLY ubiquitous grams cannot reach a meaningful Jaccard threshold
-(inter <= n_hot while union >= 2*min_doc_grams - n_hot), so candidate capture
-stays lossless for any threshold above n_hot/min_doc; the dropped-gram count
-is exposed for metrics.
+Phase 1 (candidates), default = PREFIX FILTERING (SSJoin ICDE'06 / ppjoin
+WWW'08): under the global (df, h) gram order, a pair with Jaccard >= t must
+share a gram inside BOTH docs' length-(|g| - ceil(t·|g|) + 1) prefixes, so
+only the ~(1-t) fraction of rarest grams per doc enters the inverted-index
+equi-join — exactly lossless by the prefix-filter theorem, and df-ascending
+ordering keeps ubiquitous "stopword grams" (the hot-band analogue of the
+reference's empty-key block pile-up, smart_merger.py:189-197) structurally
+out of prefixes.  The legacy 'rare_index' plan (df-cap <= ``df_cap`` +
+all-hot rarest-gram fallback; lossless for thresholds above n_hot/min_doc)
+remains selectable; both are metrics-instrumented (prefix_index_stats /
+gram_index_stats — truncation or boilerplate pile-up is never silent).
 
 Phase 2 (verify): fetch the FULL gram sets (xxhash64-compressed to long
 arrays) for both pair endpoints and compute the exact intersection/union
@@ -28,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def with_grams(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -55,11 +59,33 @@ def gram_jaccard_pairs(
     t_num: int,
     t_den: int,
     df_cap: int = 1000,
+    candidates: str = "prefix",
 ) -> DataFrame:
     """Pairs with exact gram-Jaccard >= t_num/t_den.
 
     Output: a_id, b_id, inter, union_n, jaccard — identical to the all-pairs
     definition (see module docstring for the losslessness argument).
+
+    ``candidates`` selects the phase-1 plan:
+
+      'prefix'      (default) PREFIX FILTERING (Chaudhuri/Ganti/Kaushik,
+                    SSJoin ICDE'06; Xiao et al. ppjoin WWW'08): under the
+                    global (df, h) gram order, any pair with Jaccard >=
+                    t must share a gram inside BOTH docs' prefixes of
+                    length |g| - ceil(t * |g|) + 1 — so only ~(1 - t)|g|
+                    rarest grams per doc enter the candidate index (5x
+                    smaller at t = 0.8).  Exactly lossless by the prefix-
+                    filter theorem (property-tested vs brute force); every
+                    doc always keeps >= 1 gram, so the all-hot-row hazard
+                    of the capped index cannot occur.  df-ascending order
+                    also structurally keeps ubiquitous boilerplate grams
+                    OUT of prefixes — the skew behavior the df-cap bought,
+                    without censoring (gram_index_stats reports the
+                    realized max prefix-gram df).
+      'rare_index'  the round-1/2 df-capped inverted index with the
+                    all-hot rarest-gram fallback (kept for comparison and
+                    as the conservative choice for corpora where even
+                    prefix grams are ubiquitous).
     """
     g = with_grams(df, id_col, text_col, k)
     # hash gram strings to longs once; all set arithmetic stays on longs
@@ -69,6 +95,31 @@ def gram_jaccard_pairs(
             F.array_distinct(F.transform("grams", lambda s: F.xxhash64(s)))
         ).alias("gh"),
     ).persist()
+
+    if candidates == "prefix":
+        ex = hashed.select(
+            "id", F.size("gh").alias("n_g"), F.explode("gh").alias("h")
+        )
+        freq = ex.groupBy("h").agg(F.count("*").alias("df"))
+        with_df = ex.join(freq, "h")
+        # ceil(n_g * t) with integers; prefix keeps ranks 1..(n_g - ceil + 1)
+        ceil_t = F.floor((F.col("n_g") * t_num + t_den - 1) / t_den)
+        rk = F.row_number().over(W.partitionBy("id").orderBy("df", "h"))
+        prefix = (
+            with_df.withColumn("_rk", rk)
+            .filter(F.col("_rk") <= F.col("n_g") - ceil_t + 1)
+            .select("id", "h")
+        )
+        cand = (
+            prefix.alias("x")
+            .join(prefix.alias("y"), "h")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        return verify_gram_pairs(cand, hashed, t_num, t_den)
+    if candidates != "rare_index":
+        raise ValueError(f"unknown candidates plan: {candidates!r}")
 
     ex = hashed.select("id", F.explode("gh").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("df"))
@@ -143,6 +194,38 @@ def verify_gram_pairs(
         "inter",
         "union_n",
         F.round(F.col("inter").cast("double") / F.col("union_n"), 6).alias("jaccard"),
+    )
+
+
+def prefix_index_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int, t_num: int, t_den: int
+) -> DataFrame:
+    """Prefix-index metrics (never-silent contract for the default plan):
+    one row with n_gram_rows (full exploded volume), n_prefix_rows (what
+    actually enters the candidate join), prefix_fraction, and max_prefix_df
+    — a high max_prefix_df means boilerplate grams are reaching prefixes
+    (docs whose rarest grams are still ubiquitous) and candidate volume may
+    grow toward the df² worst case."""
+    g = with_grams(df, id_col, text_col, k)
+    hashed = g.select(
+        "id",
+        F.array_distinct(F.transform("grams", lambda s: F.xxhash64(s))).alias("gh"),
+    )
+    ex = hashed.select("id", F.size("gh").alias("n_g"), F.explode("gh").alias("h"))
+    freq = ex.groupBy("h").agg(F.count("*").alias("df"))
+    with_df = ex.join(freq, "h")
+    ceil_t = F.floor((F.col("n_g") * t_num + t_den - 1) / t_den)
+    rk = F.row_number().over(W.partitionBy("id").orderBy("df", "h"))
+    flagged = with_df.withColumn(
+        "_in_prefix", rk <= F.col("n_g") - ceil_t + 1
+    )
+    return flagged.agg(
+        F.count("*").alias("n_gram_rows"),
+        F.sum(F.col("_in_prefix").cast("long")).alias("n_prefix_rows"),
+        F.round(
+            F.sum(F.col("_in_prefix").cast("long")) / F.count("*"), 4
+        ).alias("prefix_fraction"),
+        F.max(F.when(F.col("_in_prefix"), F.col("df"))).alias("max_prefix_df"),
     )
 
 

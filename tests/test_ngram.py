@@ -67,3 +67,68 @@ def test_gram_index_stats(spark):
     st = ngram.gram_index_stats(df, "doc_id", "text", 3, df_cap=2).collect()[0]
     assert st["n_hot_grams"] >= 1
     assert st["n_allhot_rows"] == 5
+
+
+def test_prefix_filter_equals_bruteforce_random(spark):
+    """Prefix-filter losslessness (SSJoin/ppjoin theorem) under a random
+    deterministic corpus with planted near-duplicates: the prefix plan, the
+    rare-index plan and python brute force must agree exactly."""
+    import random
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(3, 30)
+        rows.append((f"d{i:03d}", " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted near-dups: light perturbations of existing docs
+    for i in range(20):
+        base_id, base = rows[rng.randrange(len(rows))]
+        toks = base.split()
+        if len(toks) > 4 and rng.random() < 0.7:
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        rows.append((f"p{i:03d}", " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for t_num, t_den in ((4, 5), (1, 2)):
+        want = _brute_pairs(rows, 3, t_num / t_den)
+        got_prefix = {
+            tuple(sorted((r["a_id"], r["b_id"])))
+            for r in ngram.gram_jaccard_pairs(
+                df, "doc_id", "text", 3, t_num, t_den, candidates="prefix"
+            ).collect()
+        }
+        got_rare = {
+            tuple(sorted((r["a_id"], r["b_id"])))
+            for r in ngram.gram_jaccard_pairs(
+                df, "doc_id", "text", 3, t_num, t_den, candidates="rare_index"
+            ).collect()
+        }
+        assert got_prefix == want, f"prefix plan diverged at t={t_num}/{t_den}"
+        assert got_rare == want
+
+
+def test_prefix_filter_boilerplate_corpus(spark):
+    """Every doc keeps >= 1 prefix gram, so all-boilerplate corpora (the
+    rare-index plan's fallback case) work without any fallback."""
+    boiler = "the same exact boilerplate text repeated verbatim"
+    rows = [(f"b{i}", boiler) for i in range(6)]
+    rows += [("u1", "a unique document about spark shuffles and joins here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = ngram.gram_jaccard_pairs(
+        df, "doc_id", "text", 3, 4, 5, candidates="prefix"
+    )
+    got = {tuple(sorted((r["a_id"], r["b_id"]))) for r in pairs.collect()}
+    assert got == _brute_pairs(rows, 3, 0.8)
+    assert len(got) == 15
+
+
+def test_prefix_index_stats(spark):
+    rows = [(f"b{i}", "same boiler text here always") for i in range(5)]
+    rows.append(("u", "one unique document text body"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    st = ngram.prefix_index_stats(df, "doc_id", "text", 3, 4, 5).collect()[0]
+    assert 0 < st["n_prefix_rows"] <= st["n_gram_rows"]
+    assert 0 < st["prefix_fraction"] <= 1.0
+    # the boilerplate docs' prefixes contain df=5 grams — reported, not silent
+    assert st["max_prefix_df"] == 5
