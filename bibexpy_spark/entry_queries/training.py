@@ -463,10 +463,11 @@ def e_cosine_lsh(spark, sf_dir, threshold: float = 0.4,
     Parameter note (honest S-curve): this fixture's duplicate pairs sit at
     cos ~0.45, near the hyperplane-LSH crossover (per-plane collision
     1-θ/π ≈ 0.65), so p=6/L=64 is needed for recall 1.0 and still admits
-    ~63% of all pairs as candidates at sf0.01.  For the realistic embedding-
-    dedup regime (near-dups at cos >= 0.8, per-plane >= 0.85) the same
-    operator with p=16/L=32 gives sub-1% candidate rates — the knobs trade
-    recall for candidate volume and the choice is corpus-dependent.
+    ~63% of all pairs as candidates at sf0.01.  Steeper knobs cut the rate
+    fast even on this fixture (measured: p=16/L=32 → 13.6%, p=32/L=8 →
+    3.8%; pytest-gated), and on a true cos >= 0.8 near-dup regime
+    (per-plane >= 0.85) they reach sub-1% — the knobs trade recall for
+    candidate volume and the choice is corpus-dependent.
     The tradeoff is MEASURED, never silent: e_cosine_lsh_stats returns the
     realized candidate rate and flags rates above a configurable ceiling
     (VERDICT r2 guardrail).  Oracle: golden parquet from the identical

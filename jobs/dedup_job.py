@@ -10,6 +10,12 @@ The north rule's deployment contract: the pipeline runs via
         --run-dir <warehouse dir for checkpoint/resume> \\
         [--no-simhash] [--containment] [--shuffle-partitions N]
 
+Delta mode (daily increments; each run writes the state the next needs):
+
+    ... dedup_job.py --incremental \\
+        --input <new turns> --output <out2> \\
+        --prior-signed <out1>/signed --prior-clusters <out1>/clusters
+
 The script takes the ambient SparkSession from spark-submit (no master
 override — the cluster manager decides), runs the full
 assemble→sign→exact→LSH→verify→cluster DAG with per-stage checkpoint
@@ -56,6 +62,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--no-simhash", action="store_true")
     ap.add_argument("--containment", action="store_true")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--incremental", action="store_true",
+                    help="treat --input as a DELTA batch against prior state")
+    ap.add_argument("--prior-signed", default=None,
+                    help="prior corpus signatures parquet (a previous run's "
+                         "<output>/signed)")
+    ap.add_argument("--prior-clusters", default=None,
+                    help="prior cluster assignments parquet (a previous "
+                         "run's <output>/clusters)")
     ap.add_argument("--make-zip", action="store_true",
                     help="write bibexpy_spark.zip for --py-files and exit")
     args = ap.parse_args(argv)
@@ -82,6 +96,35 @@ def main(argv: list[str] | None = None) -> None:
     turns = (
         spark.table(args.input) if args.table else spark.read.parquet(args.input)
     )
+    _sig_cols = ["conv_id", "content_sha", "shingles", "band_hashes"]
+
+    if args.incremental:
+        # delta mode: cluster the new batch against prior state; every run
+        # writes the state the NEXT delta run needs (signed = old ∪ new),
+        # so daily increments compose without ever re-signing the corpus
+        if not args.prior_signed or not args.prior_clusters:
+            ap.error("--incremental requires --prior-signed and --prior-clusters")
+        from bibexpy_spark import incremental
+
+        prior_signed = spark.read.parquet(args.prior_signed)
+        prior_clusters = spark.read.parquet(args.prior_clusters)
+        res = incremental.run_incremental_dedup(
+            spark, turns, prior_signed, prior_clusters, cfg=CANONICAL
+        )
+        res["clusters"].write.mode("overwrite").parquet(
+            os.path.join(args.output, "clusters")
+        )
+        res["cluster_remap"].write.mode("overwrite").parquet(
+            os.path.join(args.output, "cluster_remap")
+        )
+        prior_signed.select(*_sig_cols).unionByName(
+            res["signed_new"].select(*_sig_cols)
+        ).write.mode("overwrite").parquet(os.path.join(args.output, "signed"))
+        stats = res["stats"].first().asDict()
+        print(f"dedup_job (incremental): {stats}", file=sys.stderr)
+        spark.stop()
+        return
+
     run = None
     if args.run_dir:
         token = "" if args.table else input_token_for_paths(args.input)
@@ -102,6 +145,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     res["dup_edges"].write.mode("overwrite").parquet(
         os.path.join(args.output, "dup_edges")
+    )
+    # corpus state for later --incremental runs
+    res["signed"].select(*_sig_cols).write.mode("overwrite").parquet(
+        os.path.join(args.output, "signed")
     )
     n = res["clusters"].count()
     print(f"dedup_job: wrote {n} cluster assignments to {args.output}",

