@@ -99,3 +99,54 @@ def test_exact_dups_share_content_hash(result):
     assert exacts
     for e in exacts:
         assert lookup[e] == lookup[e.replace("_exact", "_base")]
+
+
+def test_pipeline_degenerate_inputs(spark):
+    """Robustness at the edges: a single conversation, an empty-text
+    conversation, and unicode-heavy text all flow through the full DAG
+    without error and with sane cluster output."""
+    from bibexpy_spark import pipeline as pl
+
+    rows = [
+        # single-turn conversation
+        ("solo", 0, "user", "only one turn here", "", "2024-01-01T00:00:00"),
+        # empty-text turns
+        ("empty", 0, "user", "", "", "2024-01-01T00:00:00"),
+        ("empty", 1, "assistant", "", "", "2024-01-01T00:00:01"),
+        # unicode-heavy (fold + shingle path)
+        ("uni", 0, "user", "héllo wörld — naïve café über draußen", "",
+         "2024-01-01T00:00:00"),
+        ("uni", 1, "assistant", "日本語のテキストと emoji 🚀 here", "",
+         "2024-01-01T00:00:01"),
+        # exact duplicate of the unicode conversation
+        ("uni2", 0, "user", "héllo wörld — naïve café über draußen", "",
+         "2024-01-01T00:00:00"),
+        ("uni2", 1, "assistant", "日本語のテキストと emoji 🚀 here", "",
+         "2024-01-01T00:00:01"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string"
+    )
+    from pyspark.sql import functions as F
+
+    turns = turns.withColumn("ts", F.col("ts").cast("timestamp"))
+    res = pl.run_dedup(spark, turns, with_containment=True, with_simhash_pass=True)
+    cl = {r["conv_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+    assert set(cl) == {"solo", "empty", "uni", "uni2"}
+    assert cl["uni"] == cl["uni2"] == "uni"  # exact dup clustered, min id label
+    assert cl["solo"] == "solo" and cl["empty"] == "empty"
+
+
+def test_pipeline_empty_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from bibexpy_spark import pipeline as pl
+
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+    )
+    res = pl.run_dedup(spark, empty, with_containment=False, with_simhash_pass=False)
+    assert res["clusters"].count() == 0
+    assert res["dup_edges"].count() == 0
