@@ -53,8 +53,8 @@ _SIG_COLS = ["conv_id", "content_sha", "shingles", "band_hashes"]
 def run_incremental_dedup(
     spark: SparkSession,
     new_turns: DataFrame,
-    prior_signed: DataFrame,
-    prior_clusters: DataFrame,
+    prior_signed: DataFrame | None,
+    prior_clusters: DataFrame | None,
     cfg: DedupConfig = CANONICAL,
 ) -> dict[str, Any]:
     """Cluster ``new_turns`` against the prior corpus state.
@@ -63,11 +63,17 @@ def run_incremental_dedup(
                        table): conv_id, content_sha, shingles, band_hashes.
     ``prior_clusters`` its ``clusters`` output: conv_id, cluster_id (the
                        cluster_id is the min conv_id of the cluster).
+    Both priors may be ``None`` (the bootstrap batch of a delta chain):
+    the run then clusters the new batch against nothing, which equals a
+    plain batch run — so a chain of deltas starting from empty state is
+    batch-equivalent by induction.
 
     Returns: signed_new, clusters (full updated assignment over old ∪ new),
     cluster_remap (prior cluster_id -> new cluster_id, only rows that
     changed), dup_edges_new, stats (one-row DataFrame).
     """
+    from pyspark.sql import types as T
+
     conv = assembly.assemble_docs(new_turns, include_roles_tools=False)
     signed_new = (
         udfs.with_signature_columns(conv, cfg, text_col="doc")
@@ -75,6 +81,16 @@ def run_incremental_dedup(
         .persist()
     )
     new = signed_new.select(*_SIG_COLS)
+    if prior_signed is None:
+        prior_signed = spark.createDataFrame([], new.schema)
+    if prior_clusters is None:
+        cid_t = new.schema["conv_id"].dataType
+        prior_clusters = spark.createDataFrame(
+            [],
+            T.StructType(
+                [T.StructField("conv_id", cid_t), T.StructField("cluster_id", cid_t)]
+            ),
+        )
     old = prior_signed.select(*_SIG_COLS)
 
     # prior exact representatives: one row per distinct old content hash

@@ -1,0 +1,57 @@
+"""Streaming incremental dedup: micro-batch chain == one full batch run."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bibexpy_spark import corpus, pipeline
+from bibexpy_spark.streaming import incremental_stream as istream
+
+
+def test_stream_of_deltas_equals_full_batch(spark, tmp_path):
+    """Drop the fixture corpus as THREE delta files into a stream source,
+    fold them with maxFilesPerTrigger=1 (one micro-batch per file), and the
+    final state clustering must equal the full-batch pipeline exactly."""
+    src = tmp_path / "feed"
+    src.mkdir()
+    state = str(tmp_path / "state")
+
+    all_path = corpus.corpus_path_for_sf("/root/testdata/sf0.001")
+    turns = spark.read.parquet(all_path)
+    bucket = F.abs(F.xxhash64("conv_id")) % 3
+    for i in range(3):
+        turns.filter(bucket == i).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"part{i}")
+        )
+    # move one parquet file per delta into the feed dir (stable order)
+    import glob
+    import shutil
+
+    for i in range(3):
+        f = glob.glob(str(tmp_path / f"part{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, str(src / f"delta_{i}.parquet"))
+
+    q = istream.foreach_batch_incremental_dedup(
+        spark, str(src), state, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["conv_id"], r["cluster_id"])
+        for r in spark.read.parquet(os.path.join(state, "clusters")).collect()
+    }
+    full = pipeline.run_dedup(
+        spark, turns, with_containment=False, with_simhash_pass=False
+    )
+    want = {(r["conv_id"], r["cluster_id"]) for r in full["clusters"].collect()}
+    assert got == want
+
+    n_state = spark.read.parquet(os.path.join(state, "signed")).count()
+    assert n_state == turns.select("conv_id").distinct().count()
+    # remap audit exists when later deltas merged earlier clusters
+    if os.path.exists(os.path.join(state, "remaps")):
+        remaps = spark.read.parquet(os.path.join(state, "remaps"))
+        assert {"batch_id", "old_cluster_id", "cluster_id"} <= set(remaps.columns)

@@ -160,3 +160,25 @@ def test_verify_gram_pairs_fewer_array_exchanges(spark):
     # and the result is still exact: spot-check one known pair end-to-end
     out = ngram.gram_jaccard_pairs(d, "doc_id", "text", 3, 1, 2)
     assert out.count() == 25  # the oracle-checked sf0.01 answer
+
+
+def test_incremental_plan_no_cartesian(spark):
+    """The incremental delta path is equi-joins + window + CC all the way:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in the final
+    clusters plan."""
+    from bibexpy_spark import corpus, incremental, pipeline
+
+    path = corpus.corpus_path_for_sf("/root/testdata/sf0.001")
+    turns = spark.read.parquet(path)
+    is_new = F.abs(F.xxhash64("conv_id")) % 10 >= 7
+    prior = pipeline.run_dedup(
+        spark, turns.filter(~is_new),
+        with_containment=False, with_simhash_pass=False,
+    )
+    incr = incremental.run_incremental_dedup(
+        spark, turns.filter(is_new), prior["signed"], prior["clusters"]
+    )
+    for df in (incr["candidate_pairs"], incr["clusters"]):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
