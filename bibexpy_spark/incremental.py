@@ -253,6 +253,14 @@ def run_incremental_dedup(
         .crossJoin(dup_edges.agg(F.count("*").alias("n_dup_edges")))
         .crossJoin(remap.agg(F.count("*").alias("n_merged_prior_clusters")))
     )
+    def _cleanup() -> None:
+        """Unpersist the run's cached intermediates.  Call AFTER the outputs
+        are materialized (ADVICE r3: a long micro-batch delta chain would
+        otherwise accumulate three cached DataFrames per batch in executor
+        storage for the session lifetime)."""
+        for df in (signed_new, combined, ex2):
+            df.unpersist()
+
     return {
         "signed_new": signed_new,
         "clusters": clusters,
@@ -260,4 +268,5 @@ def run_incremental_dedup(
         "dup_edges_new": dup_edges,
         "candidate_pairs": cand,
         "stats": stats,
+        "cleanup": _cleanup,
     }

@@ -176,10 +176,15 @@ def verify_gram_pairs(
     j = (
         fetched.groupBy("a_id", "b_id")
         .agg(
+            # endpoint-coverage guard (ADVICE r3): require BOTH endpoints
+            # fetched — a one-endpoint pair must drop (the old double inner
+            # join semantics), not self-verify to Jaccard 1.0
+            F.count(F.lit(1)).alias("_n"),
             # exactly two rows per pair (a_id < b_id): flag picks each side
             F.max_by("gh", (F.col("id") == F.col("a_id")).cast("int")).alias("a_gh"),
             F.min_by("gh", (F.col("id") == F.col("a_id")).cast("int")).alias("b_gh"),
         )
+        .filter(F.col("_n") == 2)
         .withColumn("a_n", F.size("a_gh"))
         .withColumn("b_n", F.size("b_gh"))
         # size-ratio prefilter before the array intersection
@@ -241,15 +246,24 @@ def gram_index_stats(
     )
     ex = hashed.select("id", F.explode("gh").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("df"))
-    n_rows_allhot = (
+    # single-job shape (VERDICT r3 #7): both granularities (per-gram df and
+    # per-id min-df) reduce to one row each and cross-join — the returned
+    # DataFrame runs as ONE job when materialized, no driver-side .count()
+    # action mid-build
+    allhot = (
         ex.join(freq, "h")
         .groupBy("id")
         .agg(F.min("df").alias("_min_df"))
-        .filter(F.col("_min_df") > df_cap)
-        .count()
+        .agg(
+            F.sum((F.col("_min_df") > df_cap).cast("long")).alias("n_allhot_rows")
+        )
     )
-    agg = freq.agg(
+    gram_agg = freq.agg(
         F.count("*").alias("n_grams"),
         F.sum((F.col("df") > df_cap).cast("long")).alias("n_hot_grams"),
-    ).withColumn("n_allhot_rows", F.lit(n_rows_allhot))
-    return agg
+    )
+    return gram_agg.crossJoin(allhot).select(
+        "n_grams",
+        F.coalesce("n_hot_grams", F.lit(0)).alias("n_hot_grams"),
+        F.coalesce("n_allhot_rows", F.lit(0)).alias("n_allhot_rows"),
+    )

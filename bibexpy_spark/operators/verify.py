@@ -53,6 +53,11 @@ def verify_pairs(
     fetched = need.join(side, "id")
     is_a = (F.col("id") == F.col("a_id")).cast("int")
     aggs = [
+        # endpoint-coverage guard (ADVICE r3): a pair whose endpoint is
+        # missing from ``signed`` must be DROPPED, not verified against a
+        # single fetched row (max_by/min_by would return the same row for
+        # both sides -> self-Jaccard 1.0, a false duplicate)
+        F.count(F.lit(1)).alias("_n"),
         F.max_by("shingles", is_a).alias("a_sh"),
         F.min_by("shingles", is_a).alias("b_sh"),
         F.max_by("sh_n", is_a).alias("a_n"),
@@ -63,7 +68,7 @@ def verify_pairs(
             F.max_by("strong_id", is_a).alias("a_strong"),
             F.min_by("strong_id", is_a).alias("b_strong"),
         ]
-    j = fetched.groupBy("a_id", "b_id").agg(*aggs)
+    j = fetched.groupBy("a_id", "b_id").agg(*aggs).filter(F.col("_n") == 2)
 
     if strong_id_col:
         # negative rule: both sides identified, ids differ -> reject early

@@ -218,8 +218,13 @@ def read_wos(spark: SparkSession, path: str,
     """
     import glob as _glob
     import os as _os
+    from urllib.parse import urlparse as _urlparse
 
-    raw = path[5:] if path.startswith("file:") else path
+    # scheme strip via urlparse so file://host/x and file:///x both resolve
+    # to a filesystem path (ADVICE r3: a bare [5:] slice mishandled
+    # file://host/ URIs)
+    parsed = _urlparse(path)
+    raw = parsed.path if parsed.scheme == "file" else path
     candidates = sorted(
         p for p in _glob.glob(raw) or ([raw] if _os.path.exists(raw) else [])
         if _os.path.isfile(p)
@@ -228,11 +233,17 @@ def read_wos(spark: SparkSession, path: str,
         # unknown scheme / no local listing — preserve prior behavior
         return read_wos_tagged(spark, path)
 
+    def _hadoop_safe(p: str) -> str:
+        # wholeTextFiles treats ',' as a path-list separator; a comma INSIDE
+        # a filename is escaped as the single-char glob class "[,]", which
+        # matches only ',' and is never split (ADVICE r3)
+        return p.replace(",", "[,]")
+
     big = [p for p in candidates if _os.path.getsize(p) > threshold_bytes]
     small = [p for p in candidates if p not in big]
     parts: list[DataFrame] = []
     if small:
-        parts.append(read_wos_tagged(spark, ",".join(small)))
+        parts.append(read_wos_tagged(spark, ",".join(_hadoop_safe(p) for p in small)))
     for p in big:
         parts.append(read_wos_tagged_splittable(spark, p))
     out = parts[0]

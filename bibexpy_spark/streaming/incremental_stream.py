@@ -14,6 +14,8 @@ State layout under ``state_dir``:
     signed/    conv_id, content_sha, shingles, band_hashes  (grows per batch)
     clusters/  conv_id, cluster_id                          (full assignment)
     remaps/    batch_id, old_cluster_id, cluster_id         (append-only audit)
+    _committed/<batch_id>  marker files — a batch with a marker is skipped on
+               checkpoint replay (the swap already committed)
 
 At 10^12-turn scale the state tables are Iceberg tables and the swap is a
 snapshot commit; the parquet tmp-dir swap below is this sandbox's stand-in
@@ -70,8 +72,17 @@ def foreach_batch_incremental_dedup(
     clusters_p = os.path.join(state_dir, "clusters")
     remaps_p = os.path.join(state_dir, "remaps")
 
+    marker_dir = os.path.join(state_dir, "_committed")
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        # idempotency marker (ADVICE r3): checkpoint replay of a batch whose
+        # state swap already committed must be a no-op — re-running it would
+        # re-sign rows already present in the state and duplicate remap
+        # audit rows
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker):
             return
         have_state = os.path.exists(signed_p)
         prior_s = spark.read.parquet(signed_p) if have_state else None
@@ -80,15 +91,31 @@ def foreach_batch_incremental_dedup(
         new_signed = res["signed_new"].select(*_SIG_COLS)
         if have_state:
             new_signed = prior_s.select(*_SIG_COLS).unionByName(new_signed)
-        # STAGE every output while the prior state dirs are still readable
-        # (their lineage reads those parquets), THEN commit the swaps
+        # STAGE every output (remap delta included) while the prior state
+        # dirs are still readable — their lineage reads those parquets —
+        # THEN commit all swaps together and drop the marker last, so a
+        # crash at any point either replays the whole batch or skips it
         _stage(res["clusters"], clusters_p)
-        res["cluster_remap"].withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(remaps_p)
         _stage(new_signed, signed_p)
+        remap_tmp = os.path.join(state_dir, f"_remap_delta_{batch_id}")
+        res["cluster_remap"].withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(remap_tmp)
         _commit(clusters_p)
         _commit(signed_p)
+        # fold the staged remap delta into the flat append-only audit dir
+        # under batch-unique names (replays overwrite, never duplicate)
+        os.makedirs(remaps_p, exist_ok=True)
+        for fn in sorted(os.listdir(remap_tmp)):
+            if fn.endswith(".parquet"):
+                os.replace(
+                    os.path.join(remap_tmp, fn),
+                    os.path.join(remaps_p, f"batch{batch_id}-{fn}"),
+                )
+        shutil.rmtree(remap_tmp)
+        os.makedirs(marker_dir, exist_ok=True)
+        open(marker, "w").close()
+        res["cleanup"]()
 
     return (
         stream.writeStream.foreachBatch(handle)

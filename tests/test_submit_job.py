@@ -52,18 +52,25 @@ def test_spark_submit_pyfiles_roundtrip(tmp_path):
             capture_output=True, text=True, timeout=600,
         )
 
-    r1 = submit()
-    assert r1.returncode == 0, r1.stderr[-3000:]
-    assert "wrote 279 cluster assignments" in (r1.stdout + r1.stderr)
-
-    # clusters parquet is readable and complete
+    # expected assignment count = distinct conversations in the input
+    # (derived, not hardcoded — ADVICE r3: a fixture-seed or duckdb-hash
+    # bump must not fail the test without a real regression)
     import duckdb
 
+    n_conv = duckdb.sql(
+        f"SELECT count(DISTINCT conv_id) FROM read_parquet('{turns_path}')"
+    ).fetchone()[0]
+
+    r1 = submit()
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    assert f"wrote {n_conv} cluster assignments" in (r1.stdout + r1.stderr)
+
+    # clusters parquet is readable and complete
     n = duckdb.sql(
         f"SELECT count(*), count(DISTINCT conv_id) FROM "
         f"read_parquet('{out_dir}/clusters/*.parquet')"
     ).fetchone()
-    assert n[0] == 279 and n[1] == 279
+    assert n[0] == n_conv and n[1] == n_conv
 
     # second run with the same run-id resumes: every stage manifest is fresh
     manifests = [
@@ -147,8 +154,14 @@ def test_spark_submit_incremental_mode(tmp_path):
         f")"
     ).fetchone()[0]
     assert diff == 0, "incremental submit diverged from full-batch submit"
-    # the next-delta state is written and complete
+    # the next-delta state is written and complete: one signed row per
+    # distinct conversation across old + new (derived, not hardcoded)
+    n_conv = duckdb.sql(
+        f"SELECT count(DISTINCT conv_id) FROM ("
+        f"SELECT conv_id FROM read_parquet('{old_p}') "
+        f"UNION ALL SELECT conv_id FROM read_parquet('{new_p}'))"
+    ).fetchone()[0]
     n_state = duckdb.sql(
         f"SELECT count(*) FROM read_parquet('{out_incr}/signed/*.parquet')"
     ).fetchone()[0]
-    assert n_state == 279
+    assert n_state == n_conv
