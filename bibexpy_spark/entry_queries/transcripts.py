@@ -194,23 +194,33 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup batch-equivalence, driver-checked: split the fixture
-    70/30 on a stable conv_id hash, batch-cluster the old 70%, then fold the
-    new 30% in with run_incremental_dedup (delta-only signing, has-new bucket
-    pruning, prior clusters contracted to super-nodes).  The oracle is the
-    SAME golden parquet as t_canonical_clusters — the incremental path must
-    reproduce the full-batch clustering bit-for-bit (bibexpy_spark/
-    incremental.py docstring for the equivalence argument)."""
+    """Incremental dedup batch-equivalence, driver-checked, now covering
+    BOTH delta shapes (r4): the fixture splits 70/30 on a stable conv_id
+    hash into prior corpus vs new conversations, and additionally a subset
+    of the PRIOR conversations holds back its final turn — the delta
+    delivers the new conversations plus those held-back turns, so grown
+    conversations go through retract-and-resign (prior cluster dissolved,
+    conversation re-signed over the latest-wins merged turn set, former
+    co-members re-clustered).  The oracle is the SAME golden parquet as
+    t_canonical_clusters — the incremental path must reproduce the
+    full-batch clustering over the FINAL turn set bit-for-bit
+    (bibexpy_spark/incremental.py docstring for the equivalence argument)."""
     from bibexpy_spark import incremental
 
     turns = load_turns(spark, sf_dir)
     is_new = F.abs(F.xxhash64("conv_id")) % 10 >= 7
+    is_grown = (~is_new) & (F.abs(F.xxhash64("conv_id", F.lit(1))) % 5 == 0)
+    mx = F.max("turn_idx").over(W.partitionBy("conv_id"))
+    t2 = turns.withColumn("_held", is_grown & (F.col("turn_idx") == mx) & (mx > 0))
+    old_phase = t2.filter(~is_new & ~F.col("_held")).drop("_held")
+    delta = t2.filter(is_new | F.col("_held")).drop("_held")
     prior = pipeline.run_dedup(
-        spark, turns.filter(~is_new),
+        spark, old_phase,
         with_containment=False, with_simhash_pass=False,
     )
     incr = incremental.run_incremental_dedup(
-        spark, turns.filter(is_new), prior["signed"], prior["clusters"]
+        spark, delta, prior["signed"], prior["clusters"],
+        prior_turns=old_phase,
     )
     return incr["clusters"]
 

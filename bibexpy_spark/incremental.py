@@ -7,6 +7,20 @@ corpus's persisted signatures (the pipeline's ``signed`` stage table) and
 cluster assignments, and emit the updated clustering plus a remap of any
 prior clusters that merged.
 
+Deltas may also GROW conversations already clustered (the common shape for
+live transcript tables: a batch appends turns to an open ``conv_id`` —
+reference analogue: record patch then re-merge, apps/api/routers/
+records.py:53-121).  With ``prior_turns`` provided, a grown conversation is
+retracted and re-signed: its full turn set is rebuilt latest-wins
+((conv_id, turn_idx) keys from the delta override prior rows, so appends,
+re-deliveries AND turn edits all fold in), its ENTIRE prior cluster is
+dissolved (stale connectivity through the old signature must not survive),
+and the grown conversation plus its former co-members re-enter the
+candidate/verify/cluster path — co-members with their existing signatures,
+so re-signing stays O(|grown|).  Without ``prior_turns`` a grown delta is a
+contract violation and raises (it would otherwise enter as a second row of
+the same conv_id with a different signature — silent corruption).
+
 Batch equivalence (the correctness contract, pytest-gated in
 tests/test_incremental.py): for the same config,
 
@@ -56,6 +70,7 @@ def run_incremental_dedup(
     prior_signed: DataFrame | None,
     prior_clusters: DataFrame | None,
     cfg: DedupConfig = CANONICAL,
+    prior_turns: DataFrame | None = None,
 ) -> dict[str, Any]:
     """Cluster ``new_turns`` against the prior corpus state.
 
@@ -63,24 +78,110 @@ def run_incremental_dedup(
                        table): conv_id, content_sha, shingles, band_hashes.
     ``prior_clusters`` its ``clusters`` output: conv_id, cluster_id (the
                        cluster_id is the min conv_id of the cluster).
+    ``prior_turns``    the previously ingested turn rows — REQUIRED when the
+                       delta grows conversations already in ``prior_signed``
+                       (module docstring: retract-and-resign).  At Iceberg
+                       scale this is the source turn table itself; the
+                       semi-join that extracts the grown conversations'
+                       prior turns is partition/bucket-pruned on conv_id,
+                       never a full scan.
     Both priors may be ``None`` (the bootstrap batch of a delta chain):
     the run then clusters the new batch against nothing, which equals a
     plain batch run — so a chain of deltas starting from empty state is
     batch-equivalent by induction.
 
-    Returns: signed_new, clusters (full updated assignment over old ∪ new),
-    cluster_remap (prior cluster_id -> new cluster_id, only rows that
-    changed), dup_edges_new, stats (one-row DataFrame).
+    Returns: signed_new (signatures for every delta conversation, grown ones
+    re-signed over their merged turn set), clusters (full updated assignment
+    over old ∪ new), cluster_remap (prior cluster_id -> new cluster_id, only
+    rows that changed), dup_edges_new, stats (one-row DataFrame), cleanup
+    (callable releasing the run's caches).
     """
     from pyspark.sql import types as T
 
-    conv = assembly.assemble_docs(new_turns, include_roles_tools=False)
+    carried: DataFrame | None = None
+    touched_cluster_ids: DataFrame | None = None
+    sign_input = new_turns
+    if prior_signed is not None:
+        grown_ids = (
+            new_turns.select("conv_id").distinct()
+            .join(prior_signed.select("conv_id"), "conv_id", "left_semi")
+        )
+        if prior_turns is None:
+            # contract guard: a grown conversation without its prior turns
+            # cannot be re-signed — failing loudly beats entering it as a
+            # second same-id row with a different signature
+            n_grown = grown_ids.count()
+            if n_grown:
+                raise ValueError(
+                    f"{n_grown} delta conversation(s) already exist in "
+                    "prior_signed; pass prior_turns so they can be retracted "
+                    "and re-signed (grown-conversation contract, module "
+                    "docstring)"
+                )
+        else:
+            # the grown-id / touched-cluster sets are delta-sized but reused
+            # by half a dozen joins below; truncate their lineage eagerly so
+            # a caller passing LIVE pipeline outputs (rather than state
+            # tables) doesn't compound plan depth into Catalyst-analysis
+            # blowup (measured: un-truncated plans hang the optimizer)
+            grown_ids = grown_ids.localCheckpoint(eager=True)
+            # latest-wins merge of the grown conversations' turn sets:
+            # delta rows override prior rows on (conv_id, turn_idx)
+            grown_delta = new_turns.join(grown_ids, "conv_id", "left_semi")
+            fresh_delta = new_turns.join(grown_ids, "conv_id", "left_anti")
+            merged_grown = grown_delta.unionByName(
+                prior_turns.join(grown_ids, "conv_id", "left_semi")
+                .join(
+                    grown_delta.select("conv_id", "turn_idx"),
+                    ["conv_id", "turn_idx"],
+                    "left_anti",
+                )
+                .select(*grown_delta.columns)
+            )
+            sign_input = fresh_delta.unionByName(merged_grown)
+            # retract the grown conversations' ENTIRE prior clusters: stale
+            # connectivity through a pre-growth signature must not survive,
+            # and a retraction can legitimately SPLIT a cluster — so every
+            # former co-member re-enters the candidate/verify/cluster path
+            # (with its existing signature: re-signing stays O(|grown|))
+            if prior_clusters is not None:
+                touched_cluster_ids = (
+                    prior_clusters.join(grown_ids, "conv_id", "left_semi")
+                    .select("cluster_id")
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                touched_members = (
+                    prior_clusters.join(
+                        touched_cluster_ids, "cluster_id", "left_semi"
+                    )
+                    .select("conv_id")
+                    .localCheckpoint(eager=True)
+                )
+                carried = (
+                    prior_signed.join(touched_members, "conv_id", "left_semi")
+                    .join(grown_ids, "conv_id", "left_anti")
+                    .select(*_SIG_COLS)
+                )
+                prior_signed = prior_signed.join(
+                    touched_members, "conv_id", "left_anti"
+                )
+                prior_clusters = prior_clusters.join(
+                    touched_cluster_ids, "cluster_id", "left_anti"
+                )
+            # defensive: grown rows always leave the old side, even if the
+            # prior state was inconsistent (signed without a cluster row)
+            prior_signed = prior_signed.join(grown_ids, "conv_id", "left_anti")
+
+    conv = assembly.assemble_docs(sign_input, include_roles_tools=False)
     signed_new = (
         udfs.with_signature_columns(conv, cfg, text_col="doc")
         .drop("doc")
         .persist()
     )
     new = signed_new.select(*_SIG_COLS)
+    if carried is not None:
+        new = new.unionByName(carried).persist()
     if prior_signed is None:
         prior_signed = spark.createDataFrame([], new.schema)
     if prior_clusters is None:
@@ -202,7 +303,7 @@ def run_incremental_dedup(
         .unionByName(_contract(dup_edges))
     )
     nodes = (
-        signed_new.select(F.col("conv_id").alias("key"))
+        new.select(F.col("conv_id").alias("key"))
         .unionByName(prior_clusters.select(F.col("cluster_id").alias("key")).distinct())
         .distinct()
     )
@@ -238,13 +339,26 @@ def run_incremental_dedup(
         )
         .select("conv_id", F.coalesce("_new", "cluster_id").alias("cluster_id"))
     )
+    new_side_ids = new.select("conv_id")
     new_clusters = (
-        signed_new.select("conv_id")
-        .join(key_label, signed_new["conv_id"] == key_label["key"])
+        new_side_ids
+        .join(key_label, new_side_ids["conv_id"] == key_label["key"])
         .select("conv_id", F.col("_label").alias("cluster_id"))
     )
     clusters = prior_updated.unionByName(new_clusters)
 
+    carried_cnt = (
+        carried.agg(F.count("*").alias("n_carried"))
+        if carried is not None
+        else spark.range(1).select(F.lit(0).cast("long").alias("n_carried"))
+    )
+    retracted_cnt = (
+        touched_cluster_ids.agg(F.count("*").alias("n_retracted_clusters"))
+        if touched_cluster_ids is not None
+        else spark.range(1).select(
+            F.lit(0).cast("long").alias("n_retracted_clusters")
+        )
+    )
     stats = (
         signed_new.agg(F.count("*").alias("n_new"))
         .crossJoin(sha_match.agg(F.count("*").alias("n_cross_exact")))
@@ -252,13 +366,15 @@ def run_incremental_dedup(
         .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
         .crossJoin(dup_edges.agg(F.count("*").alias("n_dup_edges")))
         .crossJoin(remap.agg(F.count("*").alias("n_merged_prior_clusters")))
+        .crossJoin(carried_cnt)
+        .crossJoin(retracted_cnt)
     )
     def _cleanup() -> None:
         """Unpersist the run's cached intermediates.  Call AFTER the outputs
         are materialized (ADVICE r3: a long micro-batch delta chain would
         otherwise accumulate three cached DataFrames per batch in executor
         storage for the session lifetime)."""
-        for df in (signed_new, combined, ex2):
+        for df in (signed_new, new, combined, ex2):
             df.unpersist()
 
     return {

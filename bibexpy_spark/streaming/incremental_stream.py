@@ -10,9 +10,18 @@ a chain of micro-batches starting from empty state equals one batch run
 over the concatenation (batch equivalence by induction — tested with a
 maxFilesPerTrigger=1 stream against the full-batch pipeline).
 
+Micro-batches may GROW conversations from earlier batches (append turns to
+an open conv_id): the handler keeps the ingested turn rows as state and
+passes them as ``prior_turns``, so ``run_incremental_dedup`` retracts and
+re-signs grown conversations (latest-wins on (conv_id, turn_idx)) instead
+of corrupting the state with duplicate conv_id rows.
+
 State layout under ``state_dir``:
-    signed/    conv_id, content_sha, shingles, band_hashes  (grows per batch)
+    signed/    conv_id, content_sha, shingles, band_hashes  (grows per batch;
+               re-signed conversations replace their prior row)
     clusters/  conv_id, cluster_id                          (full assignment)
+    turns/     ingested turn rows (latest-wins on (conv_id, turn_idx)) —
+               the prior_turns source for grown-conversation re-signing
     remaps/    batch_id, old_cluster_id, cluster_id         (append-only audit)
     _committed/<batch_id>  marker files — a batch with a marker is skipped on
                checkpoint replay (the swap already committed)
@@ -70,6 +79,7 @@ def foreach_batch_incremental_dedup(
         )
     signed_p = os.path.join(state_dir, "signed")
     clusters_p = os.path.join(state_dir, "clusters")
+    turns_p = os.path.join(state_dir, "turns")
     remaps_p = os.path.join(state_dir, "remaps")
 
     marker_dir = os.path.join(state_dir, "_committed")
@@ -87,22 +97,48 @@ def foreach_batch_incremental_dedup(
         have_state = os.path.exists(signed_p)
         prior_s = spark.read.parquet(signed_p) if have_state else None
         prior_c = spark.read.parquet(clusters_p) if have_state else None
-        res = run_incremental_dedup(spark, batch_df, prior_s, prior_c, cfg=cfg)
+        prior_t = (
+            spark.read.parquet(turns_p)
+            if have_state and os.path.exists(turns_p)
+            else None
+        )
+        res = run_incremental_dedup(
+            spark, batch_df, prior_s, prior_c, cfg=cfg, prior_turns=prior_t
+        )
+        # upsert semantics: a re-signed (grown) conversation REPLACES its
+        # prior signature row; new conversations append
         new_signed = res["signed_new"].select(*_SIG_COLS)
         if have_state:
-            new_signed = prior_s.select(*_SIG_COLS).unionByName(new_signed)
+            new_signed = (
+                prior_s.select(*_SIG_COLS)
+                .join(res["signed_new"].select("conv_id"), "conv_id", "left_anti")
+                .unionByName(new_signed)
+            )
+        new_turns_state = batch_df
+        if prior_t is not None:
+            new_turns_state = (
+                prior_t.join(
+                    batch_df.select("conv_id", "turn_idx"),
+                    ["conv_id", "turn_idx"],
+                    "left_anti",
+                )
+                .select(*batch_df.columns)
+                .unionByName(batch_df)
+            )
         # STAGE every output (remap delta included) while the prior state
         # dirs are still readable — their lineage reads those parquets —
         # THEN commit all swaps together and drop the marker last, so a
         # crash at any point either replays the whole batch or skips it
         _stage(res["clusters"], clusters_p)
         _stage(new_signed, signed_p)
+        _stage(new_turns_state, turns_p)
         remap_tmp = os.path.join(state_dir, f"_remap_delta_{batch_id}")
         res["cluster_remap"].withColumn("batch_id", F.lit(batch_id)).write.mode(
             "overwrite"
         ).parquet(remap_tmp)
         _commit(clusters_p)
         _commit(signed_p)
+        _commit(turns_p)
         # fold the staged remap delta into the flat append-only audit dir
         # under batch-unique names (replays overwrite, never duplicate)
         os.makedirs(remaps_p, exist_ok=True)

@@ -70,6 +70,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--prior-clusters", default=None,
                     help="prior cluster assignments parquet (a previous "
                          "run's <output>/clusters)")
+    ap.add_argument("--prior-turns", default=None,
+                    help="previously ingested turn rows (parquet) — required "
+                         "when the delta appends turns to conversations "
+                         "already in --prior-signed (retract-and-resign)")
     ap.add_argument("--make-zip", action="store_true",
                     help="write bibexpy_spark.zip for --py-files and exit")
     args = ap.parse_args(argv)
@@ -108,8 +112,12 @@ def main(argv: list[str] | None = None) -> None:
 
         prior_signed = spark.read.parquet(args.prior_signed)
         prior_clusters = spark.read.parquet(args.prior_clusters)
+        prior_turns = (
+            spark.read.parquet(args.prior_turns) if args.prior_turns else None
+        )
         res = incremental.run_incremental_dedup(
-            spark, turns, prior_signed, prior_clusters, cfg=CANONICAL
+            spark, turns, prior_signed, prior_clusters, cfg=CANONICAL,
+            prior_turns=prior_turns,
         )
         res["clusters"].write.mode("overwrite").parquet(
             os.path.join(args.output, "clusters")
@@ -117,7 +125,11 @@ def main(argv: list[str] | None = None) -> None:
         res["cluster_remap"].write.mode("overwrite").parquet(
             os.path.join(args.output, "cluster_remap")
         )
-        prior_signed.select(*_sig_cols).unionByName(
+        # next-delta state: signed_new supersedes any prior row for the same
+        # conv_id (grown conversations were retracted and re-signed)
+        prior_signed.select(*_sig_cols).join(
+            res["signed_new"].select("conv_id"), "conv_id", "left_anti"
+        ).unionByName(
             res["signed_new"].select(*_sig_cols)
         ).write.mode("overwrite").parquet(os.path.join(args.output, "signed"))
         stats = res["stats"].first().asDict()

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from bibexpy_spark import corpus, incremental, pipeline
 from bibexpy_spark.config import CANONICAL
@@ -74,6 +75,117 @@ def test_incremental_remap_consistency(spark, split_corpus):
     for r in incr["cluster_remap"].collect():
         assert r["cluster_id"] in labels
         assert r["cluster_id"] < r["old_cluster_id"]
+
+
+def _grown_split(turns):
+    """Phase split where the delta GROWS conversations: a subset of old
+    conversations holds back its final turn; the delta delivers brand-new
+    conversations plus those held-back turns."""
+    w = W.partitionBy("conv_id")
+    t2 = turns.withColumn("_mx", F.max("turn_idx").over(w))
+    is_new_conv = F.abs(F.xxhash64("conv_id")) % 10 >= 8
+    is_grown = (~is_new_conv) & (F.abs(F.xxhash64("conv_id", F.lit(1))) % 4 == 0)
+    held = is_grown & (F.col("turn_idx") == F.col("_mx")) & (F.col("_mx") > 0)
+    old_phase = t2.filter(~is_new_conv & ~held).drop("_mx")
+    delta = t2.filter(is_new_conv | held).drop("_mx")
+    return old_phase.persist(), delta.persist()
+
+
+def _state_tables(spark, res, tmp_path, tag):
+    """Write a pipeline run's state the way production holds it (tables),
+    read it back — the incremental contract's prior_signed/prior_clusters
+    are state tables, and table-backed lineage keeps plans shallow."""
+    sp = str(tmp_path / f"{tag}_signed")
+    cp = str(tmp_path / f"{tag}_clusters")
+    res["signed"].write.mode("overwrite").parquet(sp)
+    res["clusters"].write.mode("overwrite").parquet(cp)
+    return spark.read.parquet(sp), spark.read.parquet(cp)
+
+
+def test_grown_conversation_delta_equals_batch(spark, split_corpus, tmp_path):
+    """Retract-and-resign (VERDICT r3 ask #2): a delta that appends turns to
+    already-clustered conversations must reproduce the full-batch clustering
+    over the FINAL turn set exactly."""
+    _, _, all_turns = split_corpus
+    old_phase, delta = _grown_split(all_turns)
+    try:
+        prior = pipeline.run_dedup(
+            spark, old_phase, with_containment=False, with_simhash_pass=False
+        )
+        prior_s, prior_c = _state_tables(spark, prior, tmp_path, "g")
+        incr = incremental.run_incremental_dedup(
+            spark, delta, prior_s, prior_c,
+            prior_turns=old_phase,
+        )
+        full = pipeline.run_dedup(
+            spark, all_turns, with_containment=False, with_simhash_pass=False
+        )
+        assert _cluster_set(incr["clusters"]) == _cluster_set(full["clusters"])
+
+        stats = incr["stats"].first().asDict()
+        # the split genuinely exercised the grown path
+        n_grown = (
+            delta.select("conv_id").distinct()
+            .join(old_phase.select("conv_id").distinct(), "conv_id", "left_semi")
+            .count()
+        )
+        assert n_grown > 0
+        assert stats["n_retracted_clusters"] > 0
+        # signed_new covers every delta conversation exactly once
+        # (grown ones re-signed over the merged turn set)
+        assert incr["signed_new"].count() == delta.select("conv_id").distinct().count()
+        # the re-signed signature matches a fresh full-batch signing: the
+        # grown conversations' final clustering above already implies it
+        incr["cleanup"]()
+    finally:
+        old_phase.unpersist()
+        delta.unpersist()
+
+
+def test_grown_turn_edit_latest_wins(spark, split_corpus, tmp_path):
+    """A delta that RE-DELIVERS an existing (conv_id, turn_idx) with new text
+    overrides the prior row (latest-wins), matching a batch run over the
+    edited turn set."""
+    old_turns, _, _ = split_corpus
+    edited = (
+        old_turns.filter(F.abs(F.xxhash64("conv_id")) % 5 == 0)
+        .filter(F.col("turn_idx") == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" edited tail marker")))
+    ).persist()
+    assert edited.count() > 0
+    prior = pipeline.run_dedup(
+        spark, old_turns, with_containment=False, with_simhash_pass=False
+    )
+    prior_s, prior_c = _state_tables(spark, prior, tmp_path, "e")
+    incr = incremental.run_incremental_dedup(
+        spark, edited, prior_s, prior_c, prior_turns=old_turns
+    )
+    final_turns = (
+        old_turns.join(
+            edited.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+        )
+        .select(*old_turns.columns)
+        .unionByName(edited)
+    )
+    full = pipeline.run_dedup(
+        spark, final_turns, with_containment=False, with_simhash_pass=False
+    )
+    assert _cluster_set(incr["clusters"]) == _cluster_set(full["clusters"])
+    edited.unpersist()
+
+
+def test_grown_without_prior_turns_raises(spark, split_corpus):
+    """Contract guard: a grown delta without prior_turns must fail loudly,
+    never enter a second same-conv_id row (silent corruption)."""
+    old_turns, _, _ = split_corpus
+    prior = pipeline.run_dedup(
+        spark, old_turns, with_containment=False, with_simhash_pass=False
+    )
+    regrown = old_turns.limit(50)
+    with pytest.raises(ValueError, match="prior_turns"):
+        incremental.run_incremental_dedup(
+            spark, regrown, prior["signed"], prior["clusters"]
+        )
 
 
 def test_incremental_empty_delta_is_identity(spark, split_corpus):
