@@ -57,7 +57,8 @@ from pyspark.sql import Window as W
 
 from bibexpy_spark.config import CANONICAL, DedupConfig
 from bibexpy_spark.functions import udfs
-from bibexpy_spark.operators import assembly, components, exact, lsh
+from bibexpy_spark.operators import assembly, components, containment, exact, lsh
+from bibexpy_spark.operators import simhash as simhash_op
 from bibexpy_spark.operators import verify as verify_op
 from bibexpy_spark.pipeline import surrogate_id
 
@@ -71,6 +72,8 @@ def run_incremental_dedup(
     prior_clusters: DataFrame | None,
     cfg: DedupConfig = CANONICAL,
     prior_turns: DataFrame | None = None,
+    with_containment: bool = False,
+    with_simhash_pass: bool = False,
 ) -> dict[str, Any]:
     """Cluster ``new_turns`` against the prior corpus state.
 
@@ -90,16 +93,29 @@ def run_incremental_dedup(
     plain batch run — so a chain of deltas starting from empty state is
     batch-equivalent by induction.
 
+    With ``with_containment`` / ``with_simhash_pass`` the run also emits the
+    DELTA pair sets of the batch pipeline's contain / fuzzy passes —
+    ``containment_prefix_new`` / ``simhash_pairs_new``, exactly the pairs
+    with >= 1 endpoint among the delta conversations.  The caller keeps the
+    prior pair state; dropping its pairs that touch ``resigned_prior_ids``
+    and unioning the delta pairs reproduces the batch pass over old ∪ new
+    (equivalence pytest-gated).  These passes need ``prior_signed`` to carry
+    ``norm_text`` / ``simhash`` columns respectively (the batch pipeline's
+    ``signed`` output has both).
+
     Returns: signed_new (signatures for every delta conversation, grown ones
     re-signed over their merged turn set), clusters (full updated assignment
     over old ∪ new), cluster_remap (prior cluster_id -> new cluster_id, only
-    rows that changed), dup_edges_new, stats (one-row DataFrame), cleanup
-    (callable releasing the run's caches).
+    rows that changed), dup_edges_new, resigned_prior_ids, stats (one-row
+    DataFrame), cleanup (callable releasing the run's caches), plus the
+    optional delta pair sets above.
     """
     from pyspark.sql import types as T
 
     carried: DataFrame | None = None
     touched_cluster_ids: DataFrame | None = None
+    resigned_ids: DataFrame | None = None
+    prior_signed_orig = prior_signed
     sign_input = new_turns
     if prior_signed is not None:
         grown_ids = (
@@ -125,6 +141,7 @@ def run_incremental_dedup(
             # tables) doesn't compound plan depth into Catalyst-analysis
             # blowup (measured: un-truncated plans hang the optimizer)
             grown_ids = grown_ids.localCheckpoint(eager=True)
+            resigned_ids = grown_ids
             # latest-wins merge of the grown conversations' turn sets:
             # delta rows override prior rows on (conv_id, turn_idx)
             grown_delta = new_turns.join(grown_ids, "conv_id", "left_semi")
@@ -173,12 +190,11 @@ def run_incremental_dedup(
             # prior state was inconsistent (signed without a cluster row)
             prior_signed = prior_signed.join(grown_ids, "conv_id", "left_anti")
 
-    conv = assembly.assemble_docs(sign_input, include_roles_tools=False)
-    signed_new = (
-        udfs.with_signature_columns(conv, cfg, text_col="doc")
-        .drop("doc")
-        .persist()
-    )
+    conv = assembly.assemble_docs(sign_input, include_roles_tools=with_simhash_pass)
+    _s = udfs.with_signature_columns(conv, cfg, text_col="doc")
+    if with_simhash_pass:
+        _s = simhash_op.with_simhash(_s, cfg)
+    signed_new = _s.drop("doc").persist()
     new = signed_new.select(*_SIG_COLS)
     if carried is not None:
         new = new.unionByName(carried).persist()
@@ -377,12 +393,36 @@ def run_incremental_dedup(
         for df in (signed_new, new, combined, ex2):
             df.unpersist()
 
-    return {
+    resigned = (
+        resigned_ids
+        if resigned_ids is not None
+        else new.select("conv_id").filter(F.lit(False))
+    )
+    out: dict[str, Any] = {
         "signed_new": signed_new,
         "clusters": clusters,
         "cluster_remap": remap,
         "dup_edges_new": dup_edges,
         "candidate_pairs": cand,
+        "resigned_prior_ids": resigned,
         "stats": stats,
         "cleanup": _cleanup,
     }
+    if with_containment or with_simhash_pass:
+        # contain/fuzzy passes run over ALL rows (not exact-dup reps), so
+        # their old side is the ORIGINAL prior corpus minus the re-signed
+        # conversations (whose stale rows the caller also drops from the
+        # prior pair state via resigned_prior_ids)
+        if prior_signed_orig is None:
+            old_full = signed_new.filter(F.lit(False))
+        else:
+            old_full = prior_signed_orig.join(resigned, "conv_id", "left_anti")
+        if with_containment:
+            out["containment_prefix_new"] = containment.prefix_containment_pairs_delta(
+                old_full, signed_new, cfg
+            )
+        if with_simhash_pass:
+            out["simhash_pairs_new"] = simhash_op.simhash_pairs_delta(
+                old_full, signed_new, cfg
+            )
+    return out

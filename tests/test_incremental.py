@@ -174,6 +174,64 @@ def test_grown_turn_edit_latest_wins(spark, split_corpus, tmp_path):
     edited.unpersist()
 
 
+def _pairset(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+
+def test_incremental_contain_simhash_equals_batch(spark, split_corpus, tmp_path):
+    """VERDICT r3 ask #5: the incremental mode extended to the contain and
+    fuzzy (SimHash) passes.  With a GROWN delta (the hardest shape):
+
+        prior_pairs minus pairs touching resigned ids ∪ delta_pairs
+            == batch pass over the final corpus
+
+    for both pair sets, while cluster equivalence still holds."""
+    _, _, all_turns = split_corpus
+    old_phase, delta = _grown_split(all_turns)
+    try:
+        full = pipeline.run_dedup(
+            spark, all_turns, with_containment=True, with_simhash_pass=True
+        )
+        prior = pipeline.run_dedup(
+            spark, old_phase, with_containment=True, with_simhash_pass=True
+        )
+        prior_s, prior_c = _state_tables(spark, prior, tmp_path, "cs")
+        incr = incremental.run_incremental_dedup(
+            spark, delta, prior_s, prior_c, prior_turns=old_phase,
+            with_containment=True, with_simhash_pass=True,
+        )
+        assert _cluster_set(incr["clusters"]) == _cluster_set(full["clusters"])
+
+        resigned = {r["conv_id"] for r in incr["resigned_prior_ids"].collect()}
+        assert resigned, "split produced no grown conversations"
+        delta_ids = {
+            r["conv_id"] for r in delta.select("conv_id").distinct().collect()
+        }
+
+        for prior_key, delta_key, full_key, cols in (
+            ("containment_prefix", "containment_prefix_new",
+             "containment_prefix", ["inner_id", "outer_id"]),
+            ("simhash_pairs", "simhash_pairs_new",
+             "simhash_pairs", ["a_id", "b_id", "hamming"]),
+        ):
+            p_prior = {
+                t for t in _pairset(prior[prior_key], cols)
+                if t[0] not in resigned and t[1] not in resigned
+            }
+            p_delta = _pairset(incr[delta_key], cols)
+            p_full = _pairset(full[full_key], cols)
+            assert p_prior | p_delta == p_full, delta_key
+            # the delta output really is a delta: every pair touches a
+            # delta conversation
+            assert all(
+                t[0] in delta_ids or t[1] in delta_ids for t in p_delta
+            ), delta_key
+        incr["cleanup"]()
+    finally:
+        old_phase.unpersist()
+        delta.unpersist()
+
+
 def test_grown_without_prior_turns_raises(spark, split_corpus):
     """Contract guard: a grown delta without prior_turns must fail loudly,
     never enter a second same-conv_id row (silent corruption)."""
