@@ -8,6 +8,20 @@ subject categories).  Spark-first restatement: `pyspark.ml` pipeline
 rows that HAVE the label, applied to the rows that don't — the fill-missing
 enrichment pattern, executed distributed on both sides (fit uses Spark ML's
 own distributed aggregation; transform is a pure map).
+
+Two variants:
+
+* :func:`fill_missing_labels` — single-label (multiclass argmax), the r2
+  baseline;
+* :func:`fill_missing_multilabel` — the reference's ACTUAL semantics
+  (ml_utils.py:125-186: MultiLabelBinarizer over ';'-split values,
+  MultiOutputClassifier = one independent binary classifier per label,
+  per-label probability threshold 0.3, output '; '-joined, None when no
+  label clears the threshold).  Spark-first: the TF-IDF featurizer fits
+  ONCE; one binary LR per vocabulary label (base classifier substitution
+  RF->LR documented in SURVEY §2); all per-label scorers chain into a
+  single distributed transform pass — no per-label job fan-out at apply
+  time, no joins.
 """
 
 from __future__ import annotations
@@ -15,6 +29,7 @@ from __future__ import annotations
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.classification import LogisticRegression
 from pyspark.ml.feature import HashingTF, IDF, RegexTokenizer, StringIndexer, IndexToString
+from pyspark.ml.functions import vector_to_array
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,3 +85,106 @@ def fill_missing_labels(
         )
     )
     return filled, model
+
+
+def fill_missing_multilabel(
+    df: DataFrame,
+    text_col: str = "text",
+    labels_col: str = "labels",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    num_features: int = 4096,
+    max_labels: int = 200,
+) -> tuple[DataFrame, list[str]]:
+    """Reference-parity multilabel fill (ml_utils.py:125-186): ``labels_col``
+    holds ';'-separated label sets; train one-vs-rest binary classifiers
+    over the label vocabulary on the labeled rows, then fill unlabeled rows
+    with every label whose probability >= ``threshold`` ('; '-joined, null
+    when none clears it — exactly predict_subjects' contract).
+
+    Returns (filled, vocabulary); ``filled`` has (id, label_out,
+    label_source='original'|'predicted').
+
+    Scale notes: the label vocabulary is collected to the driver (bounded:
+    subject-category scale is tens-to-hundreds; a corpus whose vocabulary
+    exceeds ``max_labels`` raises rather than silently fanning out thousands
+    of fits).  Fitting runs one distributed LR job per label; APPLY is one
+    pass — the k scorers chain into a single transform plan.
+    """
+    s = F.col(labels_col).cast("string")
+    lab_arr = F.array_distinct(
+        F.filter(
+            F.transform(F.split(s, ";"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+    )
+    labeled = df.filter(s.isNotNull() & (F.trim(s) != "")).withColumn(
+        "_labs", lab_arr
+    )
+    unlabeled = df.filter(~(s.isNotNull() & (F.trim(s) != "")))
+
+    tokenizer = RegexTokenizer(
+        inputCol=text_col, outputCol="_toks", pattern="[^a-zA-Z0-9]+"
+    )
+    tf = HashingTF(inputCol="_toks", outputCol="_tf", numFeatures=num_features)
+    idf = IDF(inputCol="_tf", outputCol="_features")
+    featurizer = Pipeline(stages=[tokenizer, tf, idf]).fit(labeled)
+    train_feat = featurizer.transform(labeled).persist()
+
+    vocab = sorted(
+        r["_lab"]
+        for r in train_feat.select(
+            F.explode("_labs").alias("_lab")
+        ).distinct().collect()
+    )
+    if len(vocab) > max_labels:
+        raise ValueError(
+            f"label vocabulary has {len(vocab)} entries (> max_labels="
+            f"{max_labels}); refusing to fit one binary model per label — "
+            "raise max_labels explicitly if this is intended"
+        )
+
+    models = []
+    for i, lab in enumerate(vocab):
+        lr = LogisticRegression(
+            featuresCol="_features",
+            labelCol="_y",
+            probabilityCol=f"_prob_{i}",
+            rawPredictionCol=f"_raw_{i}",
+            predictionCol=f"_predcol_{i}",
+            maxIter=25,
+            regParam=0.01,
+        )
+        train_i = train_feat.withColumn(
+            "_y", F.array_contains("_labs", lab).cast("double")
+        )
+        models.append(lr.fit(train_i))
+    train_feat.unpersist()
+
+    scored = featurizer.transform(unlabeled)
+    for m in models:
+        scored = m.transform(scored)
+    member = [
+        F.when(
+            F.element_at(vector_to_array(f"_prob_{i}"), 2) >= F.lit(threshold),
+            F.lit(lab),
+        )
+        for i, lab in enumerate(vocab)
+    ]
+    pred_join = F.array_join(
+        F.filter(F.array(*member), lambda x: x.isNotNull()), "; "
+    )
+    preds = scored.withColumn(
+        "_pred_labels", F.when(pred_join != "", pred_join)
+    )
+
+    filled = labeled.select(
+        F.col(id_col), s.alias("label_out"), F.lit("original").alias("label_source")
+    ).unionByName(
+        preds.select(
+            F.col(id_col),
+            F.col("_pred_labels").alias("label_out"),
+            F.lit("predicted").alias("label_source"),
+        )
+    )
+    return filled, vocab

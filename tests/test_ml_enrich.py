@@ -22,6 +22,52 @@ def docs(spark):
     return spark.createDataFrame(rows, ["doc_id", "text", "label"])
 
 
+@pytest.fixture(scope="module")
+def multilabel_docs(spark):
+    """Rows legitimately carrying TWO labels (';'-separated, the reference's
+    SC/DE shape); vocabulary is separable per label."""
+    animal = "cat dog horse lion tiger wolf bear fox deer rabbit"
+    tech = "spark shuffle partition executor catalyst arrow parquet codegen"
+    rows = []
+    for i in range(36):
+        rot = (i // 3) % 5
+        a = " ".join(animal.split()[rot:] + animal.split()[:rot])
+        t = " ".join(tech.split()[rot:] + tech.split()[:rot])
+        kind = i % 3  # 0: animal only, 1: tech only, 2: BOTH
+        text = a if kind == 0 else (t if kind == 1 else a + " " + t)
+        label = ["animal", "tech", "animal; tech"][kind]
+        if i >= 30:
+            label = None  # the fill targets, two of each kind
+        rows.append((i, text, label))
+    return spark.createDataFrame(rows, ["doc_id", "text", "labels"])
+
+
+def test_fill_missing_multilabel(multilabel_docs):
+    """Reference multilabel parity (VERDICT r3 ask #6): a record whose text
+    carries both vocabularies must be filled with BOTH labels, '; '-joined
+    exactly like predict_subjects (ml_utils.py:166-186)."""
+    filled, vocab = ml_enrich.fill_missing_multilabel(
+        multilabel_docs, labels_col="labels"
+    )
+    assert vocab == ["animal", "tech"]
+    out = {r["doc_id"]: (r["label_out"], r["label_source"]) for r in filled.collect()}
+    assert len(out) == 36
+    predicted = {k: v[0] for k, v in out.items() if v[1] == "predicted"}
+    assert sorted(predicted) == [30, 31, 32, 33, 34, 35]
+    for k, lab in predicted.items():
+        expected = ["animal", "tech", "animal; tech"][k % 3]
+        assert lab == expected, f"doc {k}: {lab!r} != {expected!r}"
+    # originals keep their raw string verbatim
+    assert out[2] == ("animal; tech", "original")
+
+
+def test_multilabel_vocab_cap(multilabel_docs):
+    with pytest.raises(ValueError, match="max_labels"):
+        ml_enrich.fill_missing_multilabel(
+            multilabel_docs, labels_col="labels", max_labels=1
+        )
+
+
 def test_fill_missing_labels(docs):
     filled, model = ml_enrich.fill_missing_labels(docs)
     out = {r["doc_id"]: (r["label_out"], r["label_source"]) for r in filled.collect()}
