@@ -98,8 +98,14 @@ def generate_transcripts(
     n_conversations: int = 200,
     seed: int = 42,
     dup_rates: dict[str, float] | None = None,
+    conv_range: tuple[int, int] | None = None,
 ) -> pd.DataFrame:
-    """Generate the turn-level transcript table (one row per turn)."""
+    """Generate the turn-level transcript table (one row per turn).
+
+    ``conv_range=(lo, hi)`` emits only conversations lo..hi-1 — identical
+    rows to a full run's slice (per-conversation seeding), for chunked
+    writes of large corpora.
+    """
     rates = dup_rates or {
         "exact": 0.08, "near": 0.10, "border": 0.06, "contain": 0.05,
         "fuzzy": 0.05, "reorder": 0.05,
@@ -122,7 +128,8 @@ def generate_transcripts(
                 "ts": ts0 + timedelta(seconds=int(turn["turn_idx"]) * 7),
             })
 
-    for i in range(n_conversations):
+    lo, hi = conv_range if conv_range is not None else (0, n_conversations)
+    for i in range(lo, hi):
         rng = _conv_rng(seed, i)
         hot = rng.random() < 0.05
         turns = _gen_base_conv(rng, hot)
@@ -163,15 +170,63 @@ def generate_transcripts(
     return df
 
 
-def hash_stable(s: str) -> int:
-    """Deterministic small int from a string (no PYTHONHASHSEED dependence)."""
-    import hashlib
+def generate_skewed_transcripts(
+    n_conversations: int, hot_fraction: float = 0.10, seed: int = 77
+) -> pd.DataFrame:
+    """Boilerplate-heavy corpus for the skew stress harness (VERDICT r3
+    next-round #4): ~``hot_fraction`` of conversations share ONE long
+    boilerplate opener (the reference's empty-key pile-up analogue,
+    smart_merger.py:189-197) plus a tiny distinct tail, so their MinHash
+    bands collide into a handful of buckets each holding ~hot_fraction*n
+    rows — the hot-band star-fallback regime.  Remaining conversations are
+    ordinary distinct base conversations.  Ground truth: every hot pair's
+    exact shingle Jaccard is far above the 0.8 threshold (the shared opener
+    dominates), so all hot conversations belong to one cluster.
+    """
+    rows: list[dict] = []
+    trng = _conv_rng(seed, 2**31 - 1)
+    template = [
+        {
+            "turn_idx": t,
+            "role": str(_ROLES[t % 2]),
+            "text": " ".join(trng.choice(_WORDS, size=24)),
+            "tool": "",
+        }
+        for t in range(8)
+    ]
+    for i in range(n_conversations):
+        rng = _conv_rng(seed, i)
+        hot = rng.random() < hot_fraction
+        ts0 = _EPOCH + timedelta(minutes=i)
+        if hot:
+            tail = " ".join(rng.choice(_WORDS, size=4))
+            turns = template + [
+                {"turn_idx": 8, "role": "user", "text": tail, "tool": ""}
+            ]
+            conv_id = f"s{i:07d}_hot"
+        else:
+            turns = _gen_base_conv(rng, False)
+            conv_id = f"s{i:07d}_base"
+        for turn in turns:
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": np.int32(turn["turn_idx"]),
+                    "role": turn["role"],
+                    "text": turn["text"],
+                    "tool": turn["tool"],
+                    "ts": ts0 + timedelta(seconds=int(turn["turn_idx"]) * 7),
+                }
+            )
+    df = pd.DataFrame(rows)
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
 
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "big")
 
-
-def write_parquet(path: str, n_conversations: int, seed: int = 42) -> str:
-    """Idempotently materialize a corpus parquet at ``path``."""
+def write_skewed_parquet(
+    path: str, n_conversations: int, hot_fraction: float = 0.10, seed: int = 77
+) -> str:
+    """Idempotently materialize a skew-stress corpus parquet at ``path``."""
     import os
 
     import pyarrow as pa
@@ -179,7 +234,49 @@ def write_parquet(path: str, n_conversations: int, seed: int = 42) -> str:
 
     if os.path.exists(path):
         return path
-    df = generate_transcripts(n_conversations=n_conversations, seed=seed)
+    df = generate_skewed_transcripts(n_conversations, hot_fraction, seed)
+    schema = pa.schema([
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("role", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("tool", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+    ])
+    tmp = path + ".tmp"
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+        tmp,
+        row_group_size=50_000,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+def hash_stable(s: str) -> int:
+    """Deterministic small int from a string (no PYTHONHASHSEED dependence)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "big")
+
+
+def write_parquet(
+    path: str, n_conversations: int, seed: int = 42, chunk_convs: int = 60_000
+) -> str:
+    """Idempotently materialize a corpus parquet at ``path``.
+
+    Large corpora are generated and written in chunks of ``chunk_convs``
+    conversations (the per-conversation RNG is seeded by (seed, index), so
+    any chunking produces bit-identical rows) — the 4x bench corpus would
+    otherwise hold ~5M python dicts at once.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
     schema = pa.schema([
         pa.field("conv_id", pa.string()),
         pa.field("turn_idx", pa.int32()),
@@ -191,11 +288,18 @@ def write_parquet(path: str, n_conversations: int, seed: int = 42) -> str:
     tmp = path + ".tmp"
     # small row groups so Spark can split the scan across tasks (a single
     # row group pins the read + first shuffle-write to one core)
-    pq.write_table(
-        pa.Table.from_pandas(df, schema=schema, preserve_index=False),
-        tmp,
-        row_group_size=50_000,
-    )
+    writer = pq.ParquetWriter(tmp, schema)
+    try:
+        for lo in range(0, n_conversations, chunk_convs):
+            hi = min(lo + chunk_convs, n_conversations)
+            df = generate_transcripts(
+                n_conversations=hi, seed=seed, conv_range=(lo, hi)
+            )
+            tbl = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+            for rg_lo in range(0, tbl.num_rows, 50_000):
+                writer.write_table(tbl.slice(rg_lo, 50_000))
+    finally:
+        writer.close()
     os.replace(tmp, path)
     return path
 

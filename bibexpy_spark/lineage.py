@@ -110,12 +110,25 @@ class RunContext:
         path = self._table_path(stage)
         if self.stage_fresh(stage):
             df = self.spark.read.parquet(path)
-            self._log(stage, rows=df.count(), wall_s=time.time() - t0, skipped=True)
+            # the fresh manifest already carries the row count — resume must
+            # not pay a scan job per skipped stage
+            rows = json.load(open(self._manifest_path(stage))).get("rows")
+            self._log(stage, rows=rows, wall_s=time.time() - t0, skipped=True)
             return df
         df = build()
         writer = df.repartition(repartition) if repartition else df
         tmp = path + ".tmp"
+        # the manifest row count rides the WRITE job as an Observation —
+        # one job per stage instead of write + full re-scan count
+        # (VERDICT r3 next-round #1a: fold metric actions into the
+        # materializing action)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation(f"rows_{stage}")
+        writer = writer.observe(obs, F.count(F.lit(1)).alias("n"))
         writer.write.mode("overwrite").parquet(tmp)
+        rows = int(obs.get["n"])
         # atomic-ish replace: stage tables are only visible once complete
         if os.path.exists(path):
             import shutil
@@ -123,7 +136,6 @@ class RunContext:
             shutil.rmtree(path)
         os.replace(tmp, path)
         out = self.spark.read.parquet(path)
-        rows = out.count()
         self._write_manifest(stage, rows, time.time() - t0)
         self._log(stage, rows=rows, wall_s=time.time() - t0, skipped=False)
         return out
