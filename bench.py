@@ -99,20 +99,20 @@ def _force(df) -> int:
 
 
 def _warm_python_workers(spark, cores: int) -> None:
-    """Prime the Python worker pool (fork + numpy/pandas/pyarrow import)
-    before the timed region — session-fixed cost, not pipeline cost."""
-    import pandas as pd
+    """Prime the Python worker pool (fork + numpy/pandas/pyarrow import +
+    kernel JIT paths) before the timed region — session-fixed cost, not
+    pipeline cost.  Uses the REAL signature UDFs over one tiny row per
+    core, so exactly the worker state the pipeline needs is warm."""
     from pyspark.sql import functions as F
-    from pyspark.sql.pandas.functions import pandas_udf
 
-    @pandas_udf("double")
-    def _warm(v: pd.Series) -> pd.Series:
-        import numpy as np  # noqa: F401  (worker-side import warm)
+    from bibexpy_spark.config import CANONICAL
+    from bibexpy_spark.functions import udfs
 
-        return v * 1.0
-
-    spark.range(0, cores * 4, 1, cores).select(
-        F.sum(_warm(F.col("id").cast("double")))
+    tiny = spark.range(0, cores * 4, 1, cores).select(
+        F.concat(F.lit("warm sample text "), F.col("id").cast("string")).alias("doc")
+    )
+    udfs.with_signature_columns(tiny, CANONICAL).select(
+        F.sum(F.size("band_hashes"))
     ).collect()
 
 
