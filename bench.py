@@ -120,13 +120,19 @@ def _warm_python_workers(spark, cores: int) -> None:
 # subprocess units
 # ---------------------------------------------------------------------------
 
-def run_leg(cores: int, turns_path: str, out_json: str) -> None:
+def run_leg(
+    cores: int, turns_path: str, out_json: str, kernel_path: str | None = None
+) -> None:
     """One scaling leg: full pipeline wall + a kernel-stage pass.
 
     ``kernel_s`` isolates the CPU-bound signature stage (normalize +
     shingle + MinHash UDFs over a cached input, shuffle-free): end-to-end
     scaling is bounded by the host's memory-bandwidth ceiling on shuffles,
     kernel scaling shows what the code does when the substrate scales.
+    The kernel pass runs over ``kernel_path`` when given (a CONSTANT
+    reference slice across all legs of a corpus — the kernel ratio only
+    needs per-level relative timing, and the smaller slice frees the leg
+    budget for pipeline repeats).
     """
     from pyspark.sql import functions as F
 
@@ -154,7 +160,9 @@ def run_leg(cores: int, turns_path: str, out_json: str) -> None:
     wall = time.time() - t0
 
     # kernel-stage pass over cached docs (compute-bound, shuffle-free)
-    conv = assembly.assemble_docs(turns).persist()
+    kturns = spark.read.parquet(kernel_path) if kernel_path else turns
+    kernel_n = kturns.count()
+    conv = assembly.assemble_docs(kturns).persist()
     conv.count()
     t0 = time.time()
     udfs.with_signature_columns(conv, CANONICAL).select(
@@ -169,6 +177,7 @@ def run_leg(cores: int, turns_path: str, out_json: str) -> None:
             {
                 "cores": cores,
                 "n_turns": n_turns,
+                "kernel_n_turns": int(kernel_n),
                 "wall_s": round(wall, 2),
                 "kernel_s": round(kernel, 2),
                 "n_clusters": n_clusters,
@@ -180,8 +189,13 @@ def run_leg(cores: int, turns_path: str, out_json: str) -> None:
 def run_headline_round(rnd: int, out_json: str) -> None:
     """One headline round: every HEADLINE query, fully materialized, in a
     fresh session (the registry's gram/pipeline caches are keyed by
-    applicationId, so a reused session would time a cache hit)."""
+    applicationId, so a reused session would time a cache hit).  A tiny
+    shuffle job + the Python-worker warmup run first: this subprocess boots
+    a COLD JVM, and without the warmup the first query absorbs JIT/codegen
+    warmup that in-process protocols (r3) implicitly excluded."""
     import __spark_entry__ as entrymod
+
+    from pyspark.sql import functions as F
 
     from bibexpy_spark.session import build_spark
 
@@ -189,6 +203,10 @@ def run_headline_round(rnd: int, out_json: str) -> None:
         app_name=f"bench_queries_{rnd}", cores=CPUS, shuffle_partitions=CPUS
     )
     spark.sparkContext.setLogLevel("ERROR")
+    _warm_python_workers(spark, CPUS)
+    spark.range(0, 100_000, 1, CPUS).groupBy(
+        (F.col("id") % 97).alias("k")
+    ).count().write.format("noop").mode("overwrite").save()
     qs = entrymod.queries()
     out = {}
     for name in HEADLINE:
@@ -236,7 +254,9 @@ def _scaling_summary(runs: dict[int, list[dict]]) -> tuple[dict, dict]:
         s["kernel_all_runs_s"] = [r["kernel_s"] for r in rs]
         s["kernel_s"] = min(r["kernel_s"] for r in rs)
         s["turns_per_sec"] = round(s["n_turns"] / s["wall_s"], 1)
-        s["kernel_turns_per_sec"] = round(s["n_turns"] / s["kernel_s"], 1)
+        s["kernel_turns_per_sec"] = round(
+            s.get("kernel_n_turns", s["n_turns"]) / s["kernel_s"], 1
+        )
         s["errors"] = sorted({r.get("errors", "none") for r in rs})
         scaling[c] = s
 
@@ -276,40 +296,45 @@ def main() -> None:
 
     # --- scaling legs -------------------------------------------------------
     # coverage-first interleaved order: one run of every (corpus, level)
-    # first, then repeat passes with the PRIMARY (xl4) legs first and the
-    # throttle-dominated 32-core legs last — the budget gate skips repeats,
-    # never coverage.
+    # first, then repeat passes with the PRIMARY (xl4) linear-pair legs
+    # getting the most repeats (3 each — the host's throttle phases can
+    # contaminate a whole multi-minute XL leg, so minima need depth there).
+    # The budget gate skips only legs whose level already has a run —
+    # coverage never degrades.
     leg_order = [
         ("xl4", 2), ("xl4", 8), ("xl4", 32),
         ("std", 2), ("std", 8), ("std", 32),
-        ("xl4", 8), ("xl4", 2),
-        ("std", 8), ("std", 2),
-        ("xl4", 32), ("std", 32),
+        ("xl4", 2), ("xl4", 8),
+        ("xl4", 2), ("xl4", 8),
+        ("std", 2), ("std", 8),
     ]
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2400"))
     t_start = time.time()
     runs: dict[str, dict[int, list[dict]]] = {
         name: {2: [], 8: [], 32: []} for name in corpora
     }
+    # kernel pass always times the SAME reference slice (std corpus) so the
+    # per-level kernel ratio is comparable and XL legs don't spend their
+    # budget re-signing 4.5M turns outside the timed pipeline
+    kernel_ref = corpora.get("std", "")
     for i, (name, c) in enumerate([] if FAST else leg_order):
-        covered = all(
-            runs[n2][c2] for n2, c2 in set(leg_order)
-        )
-        if time.time() - t_start > budget_s and covered:
+        if time.time() - t_start > budget_s and runs[name][c]:
             print(
-                f"[bench] budget {budget_s}s exhausted — skipping leg "
+                f"[bench] budget {budget_s}s exhausted — skipping repeat leg "
                 f"{i + 1}/{len(leg_order)} {name} local[{c}]",
                 file=sys.stderr, flush=True,
             )
             continue
         r, errors = _subprocess_unit(
-            ["--leg", str(c), corpora[name]], f"leg_{i}_{name}_{c}", scratch
+            ["--leg", str(c), corpora[name], kernel_ref],
+            f"leg_{i}_{name}_{c}", scratch,
         )
         if r is None:
             print(f"[bench] leg {i + 1} {name} local[{c}] FAILED: {errors}",
                   file=sys.stderr, flush=True)
             continue
         r["errors"] = errors
+        r["at_s"] = round(time.time() - t_start, 1)  # phase forensics
         runs[name][c].append(r)
         print(
             f"[bench] leg {i + 1}/{len(leg_order)} {name} local[{c}]: "
@@ -429,6 +454,10 @@ def _write_bench_md(result, per_corpus) -> None:
         "below).  Each leg primes the Python worker pool with one tiny",
         "Arrow-UDF job before the timed region (worker fork + library import",
         "is session-fixed cost, paid once per executor on a real cluster).",
+        "The kernel column times the shuffle-free signature stage over a",
+        "CONSTANT reference slice (the 1.12M-turn std corpus) at every",
+        "level — only the per-level ratio matters, and it isolates host",
+        "throttling from plan scaling.",
     ]
     if "xl4" in per_corpus:
         sc = per_corpus["xl4"]["scaling"]
@@ -576,7 +605,12 @@ def _write_bench_md(result, per_corpus) -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--leg":
-        run_leg(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        if len(sys.argv) >= 6:
+            # --leg cores turns_path kernel_path out_json
+            run_leg(int(sys.argv[2]), sys.argv[3], sys.argv[5],
+                    kernel_path=sys.argv[4] or None)
+        else:
+            run_leg(int(sys.argv[2]), sys.argv[3], sys.argv[4])
     elif len(sys.argv) >= 2 and sys.argv[1] == "--headline-round":
         run_headline_round(int(sys.argv[2]), sys.argv[3])
     else:
