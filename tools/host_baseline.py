@@ -2,7 +2,7 @@
 
 Runs the EXACT kernel workload of the pipeline's signature stage (canonical
 normalize -> shingle -> MinHash over the bench corpus's assembled documents)
-with plain multiprocessing at 2 / 8 / 32 workers — no Spark, no shuffles, no
+with plain multiprocessing at 1 / 2 / 4 / 8 / 32 workers — no Spark, no shuffles, no
 JVM.  Whatever speedup THIS shows is the host's ceiling for the workload;
 Spark cannot scale past the substrate.  Interleaved repeats, minima reported
 (host shows phase-like throttling).
@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 OUT = "/root/repo/data/host_baseline.json"
-LEVELS = (2, 8, 32)
+LEVELS = (1, 2, 4, 8, 32)
 N_CHUNKS = 32  # fixed task granularity, same at every level (like Spark partitions)
 
 
@@ -74,6 +74,7 @@ def main() -> None:
                      "all_runs_s": [round(w, 2) for w in walls[n]]}
             for n in LEVELS
         },
+        "host_speedup_1_to_4": round(best[1] / best[4], 3) if 1 in best and 4 in best else None,
         "host_speedup_2_to_8": round(best[2] / best[8], 3),
         "host_speedup_8_to_32": round(best[8] / best[32], 3),
     }
