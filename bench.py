@@ -304,22 +304,28 @@ def main() -> None:
         )
 
     # --- scaling legs -------------------------------------------------------
-    # coverage-first interleaved order: one run of every (corpus, level)
-    # first, then repeat passes with the PRIMARY (xl4) linear-pair legs
-    # getting the most repeats (3 each — the host's throttle phases can
-    # contaminate a whole multi-minute XL leg, so minima need depth there).
+    # PRIMARY pair = 2x corpus local[1]->local[4] (compute-dominated AND
+    # cheap enough for interleaved minima repeats; the 4x corpus's local[1]
+    # leg runs 8-13 min on this host — unmeasurable under a minima
+    # protocol).  The 4x corpus carries the 2->8 and instructed 8->32 pairs.
+    #
+    # Scheduling: the host throttles in multi-minute phases (2-10x), so a
+    # leg's wall time is only trustworthy if it ran in a CLEAN phase.  The
+    # constant kernel slice timed inside every leg is the phase detector:
+    # a run whose kernel_s is within CLEAN_FACTOR of the session-best
+    # kernel at that core count ran clean.  The fixed order spreads three
+    # repeats of each primary leg across the session (phase diversity);
+    # the adaptive tail then keeps re-running any primary leg that still
+    # lacks a clean run until it gets one, the repeat cap, or the budget.
     # The budget gate skips only legs whose level already has a run —
     # coverage never degrades.
-    # PRIMARY pair = 2x corpus local[1]->local[4] (compute-dominated AND
-    # cheap enough for 3 interleaved repeats; the 4x corpus's local[1] leg
-    # runs 8-13 min on this host — unmeasurable under a minima protocol).
-    # The 4x corpus carries the 2->8 and instructed 8->32 pairs.
     leg_order = [
         ("xl", 1), ("xl", 4),
+        ("std", 1), ("std", 4),
+        ("xl", 1), ("xl", 4),
         ("xl4", 2), ("xl4", 8), ("xl4", 32),
-        ("std", 1), ("std", 4), ("std", 2), ("std", 8),
         ("xl", 1), ("xl", 4),
-        ("xl", 1), ("xl", 4),
+        ("std", 2), ("std", 8),
     ]
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2700"))
     t_start = time.time()
@@ -330,6 +336,25 @@ def main() -> None:
     # per-level kernel ratio is comparable and XL legs don't spend their
     # budget re-signing 4.5M turns outside the timed pipeline
     kernel_ref = corpora.get("std", "")
+
+    def _do_leg(name: str, c: int, i: int, total: int) -> None:
+        r, errors = _subprocess_unit(
+            ["--leg", str(c), corpora[name], kernel_ref],
+            f"leg_{i}_{name}_{c}", scratch,
+        )
+        if r is None:
+            print(f"[bench] leg {i + 1} {name} local[{c}] FAILED: {errors}",
+                  file=sys.stderr, flush=True)
+            return
+        r["errors"] = errors
+        r["at_s"] = round(time.time() - t_start, 1)  # phase forensics
+        runs[name][c].append(r)
+        print(
+            f"[bench] leg {i + 1}/{total} {name} local[{c}]: "
+            f"wall={r['wall_s']}s kernel={r['kernel_s']}s errors={errors}",
+            file=sys.stderr, flush=True,
+        )
+
     for i, (name, c) in enumerate([] if FAST else leg_order):
         if time.time() - t_start > budget_s and runs[name][c]:
             print(
@@ -338,22 +363,46 @@ def main() -> None:
                 file=sys.stderr, flush=True,
             )
             continue
-        r, errors = _subprocess_unit(
-            ["--leg", str(c), corpora[name], kernel_ref],
-            f"leg_{i}_{name}_{c}", scratch,
+        _do_leg(name, c, i, len(leg_order))
+
+    # adaptive tail: top up primary legs that never saw a clean phase
+    PRIMARY_LEGS = [("xl", 1), ("xl", 4)]
+    CLEAN_FACTOR = 1.2
+    max_runs = int(os.environ.get("SPARK_GRAFT_PRIMARY_MAX_RUNS", "6"))
+
+    def _kernel_best(level: int) -> float | None:
+        vals = [
+            r["kernel_s"] for n in runs for r in runs[n].get(level, [])
+        ]
+        return min(vals) if vals else None
+
+    def _leg_clean(name: str, c: int) -> bool:
+        kb = _kernel_best(c)
+        rs = runs[name][c]
+        return bool(rs) and kb is not None and (
+            min(r["kernel_s"] for r in rs) <= CLEAN_FACTOR * kb
         )
-        if r is None:
-            print(f"[bench] leg {i + 1} {name} local[{c}] FAILED: {errors}",
-                  file=sys.stderr, flush=True)
-            continue
-        r["errors"] = errors
-        r["at_s"] = round(time.time() - t_start, 1)  # phase forensics
-        runs[name][c].append(r)
+
+    i = len(leg_order)
+    attempts = {leg: 0 for leg in PRIMARY_LEGS}
+    while not FAST and time.time() - t_start <= budget_s:
+        pending = [
+            (n, c) for (n, c) in PRIMARY_LEGS
+            if len(runs[n][c]) < max_runs and attempts[(n, c)] < max_runs
+            and not _leg_clean(n, c)
+        ]
+        if not pending:
+            break
+        name, c = min(pending, key=lambda t: len(runs[t[0]][t[1]]))
+        attempts[(name, c)] += 1
         print(
-            f"[bench] leg {i + 1}/{len(leg_order)} {name} local[{c}]: "
-            f"wall={r['wall_s']}s kernel={r['kernel_s']}s errors={errors}",
+            f"[bench] adaptive: {name} local[{c}] has no clean-phase run "
+            f"(best kernel {min((r['kernel_s'] for r in runs[name][c]), default=None)} "
+            f"vs session-best {_kernel_best(c)}) — repeating",
             file=sys.stderr, flush=True,
         )
+        _do_leg(name, c, i, len(leg_order))
+        i += 1
 
     per_corpus = {}
     for name in corpora:
