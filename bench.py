@@ -242,8 +242,16 @@ def _subprocess_unit(args: list[str], tag: str, scratch: str) -> tuple[dict | No
 # orchestrator
 # ---------------------------------------------------------------------------
 
-def _scaling_summary(runs: dict[int, list[dict]]) -> tuple[dict, dict]:
-    """Per-level best-of summary + efficiency pairs for one corpus."""
+def _scaling_summary(
+    runs: dict[int, list[dict]], kernel_best_by_level: dict[int, float] | None = None
+) -> tuple[dict, dict]:
+    """Per-level best-of summary + efficiency pairs for one corpus.
+
+    ``kernel_best_by_level`` (session-wide minima of the constant kernel
+    slice, across ALL corpora) adds a per-level ``phase_quality`` column:
+    best-seen kernel at that core count / this level's best kernel — 1.0
+    means at least one run landed in the cleanest phase the session saw,
+    lower means every run of this leg was throttle-contaminated."""
     scaling = {}
     for c, rs in runs.items():
         if not rs:
@@ -258,6 +266,8 @@ def _scaling_summary(runs: dict[int, list[dict]]) -> tuple[dict, dict]:
             s.get("kernel_n_turns", s["n_turns"]) / s["kernel_s"], 1
         )
         s["errors"] = sorted({r.get("errors", "none") for r in rs})
+        if kernel_best_by_level and kernel_best_by_level.get(c):
+            s["phase_quality"] = round(kernel_best_by_level[c] / s["kernel_s"], 2)
         scaling[c] = s
 
     def _eff(lo: int, hi: int, key: str):
@@ -279,6 +289,18 @@ def _scaling_summary(runs: dict[int, list[dict]]) -> tuple[dict, dict]:
                 "efficiency": e,
                 "kernel_efficiency": _eff(plo, phi, "kernel_turns_per_sec"),
             }
+            # paired-cycle estimator: the leg order launches the lo and hi
+            # legs of a pair back-to-back, so the i-th run of each shares a
+            # throttle phase — the within-cycle ratio controls for the
+            # phase in a way cross-run minima cannot (minima can combine a
+            # clean hi with a throttled lo and overshoot, or vice versa)
+            cycles = [
+                round((lo_r["wall_s"] / hi_r["wall_s"]) / (phi / plo), 3)
+                for lo_r, hi_r in zip(runs[plo], runs[phi])
+            ]
+            if cycles:
+                pairs[label]["paired_cycles"] = cycles
+                pairs[label]["paired_best"] = max(cycles)
     return scaling, pairs
 
 
@@ -404,9 +426,17 @@ def main() -> None:
         _do_leg(name, c, i, len(leg_order))
         i += 1
 
+    kernel_best_by_level: dict[int, float] = {}
+    for name in corpora:
+        for c, rs in runs[name].items():
+            for r in rs:
+                prev = kernel_best_by_level.get(c)
+                kernel_best_by_level[c] = (
+                    r["kernel_s"] if prev is None else min(prev, r["kernel_s"])
+                )
     per_corpus = {}
     for name in corpora:
-        scaling, pairs = _scaling_summary(runs[name])
+        scaling, pairs = _scaling_summary(runs[name], kernel_best_by_level)
         if scaling:
             per_corpus[name] = {"scaling": scaling, "pairs": pairs}
 
@@ -465,6 +495,9 @@ def main() -> None:
             p_scaling[hi]["turns_per_sec"] if hi is not None else None
         ),
         "scaling_efficiency": p_pairs.get("linear_1_4", {}).get("efficiency"),
+        "scaling_efficiency_paired_best": p_pairs.get("linear_1_4", {}).get(
+            "paired_best"
+        ),
         "kernel_scaling_efficiency": p_pairs.get("linear_1_4", {}).get(
             "kernel_efficiency"
         ),
@@ -486,23 +519,36 @@ def main() -> None:
 
 def _scaling_table(scaling: dict, pairs: dict) -> list[str]:
     lines = [
-        "| leg | pipeline wall (s) | all runs (s) | turns/sec | kernel (s) | kernel turns/sec | errors |",
-        "|---|---|---|---|---|---|---|",
+        "| leg | pipeline wall (s) | all runs (s) | turns/sec | kernel (s) | kernel turns/sec | phase | errors |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for c in sorted(scaling):
         s = scaling[c]
         lines.append(
             f"| local[{c}] | {s['wall_s']} | {s['all_runs_s']} | "
             f"{s['turns_per_sec']} | {s['kernel_s']} | "
-            f"{s['kernel_turns_per_sec']} | {'; '.join(s['errors'])} |"
+            f"{s['kernel_turns_per_sec']} | {s.get('phase_quality', '—')} | "
+            f"{'; '.join(s['errors'])} |"
         )
     if pairs:
-        lines += ["", "| pair | end-to-end efficiency | kernel efficiency |",
-                  "|---|---|---|"]
+        lines += [
+            "",
+            "(phase = session-best kernel at that core count / this leg's",
+            "best kernel; 1.0 = at least one run saw the cleanest phase the",
+            "session observed, lower = every run was throttled.  Paired",
+            "cycles = within-cycle wall ratio of the back-to-back lo/hi legs",
+            "— each cycle shares a throttle phase, so it cannot combine a",
+            "clean numerator with a throttled denominator the way cross-run",
+            "minima can; best-cycle is the capability estimate.)",
+            "",
+            "| pair | end-to-end efficiency (minima) | kernel efficiency | paired cycles | best cycle |",
+            "|---|---|---|---|---|",
+        ]
         for label, p in pairs.items():
             lines.append(
                 f"| {label.replace('_', ' ')} | {p['efficiency']} | "
-                f"{p['kernel_efficiency']} |"
+                f"{p['kernel_efficiency']} | "
+                f"{p.get('paired_cycles', '—')} | {p.get('paired_best', '—')} |"
             )
     return lines
 
