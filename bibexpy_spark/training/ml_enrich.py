@@ -34,6 +34,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _strip_training_summary(model) -> None:
+    """Drop a fitted model's training summary before using its transform.
+
+    Spark ML keeps the training summary in a non-transient model field, and
+    the summary holds the fitting SparkSession; the prediction UDF closure
+    captures the model, so the session rides along into task serialization.
+    That is normally survivable (the session's heavy fields are transient)
+    — until anything initializes the session's lazy, NON-serializable
+    ``observationManager``, which any ``Dataset.observe`` does.  This
+    engine's connected-components loop observes its convergence checksum
+    (components.py), so a pipeline that clusters and then applies an ML
+    model in one session dies with ``java.io.NotSerializableException:
+    ObservationManager`` at the first model-backed collect.  The summary is
+    training-time metadata this module never reads; stripping it removes
+    the session from the closure graph.  Best-effort: model types without
+    the field are left untouched.
+    """
+    try:
+        jm = model._java_obj
+        from pyspark import SparkContext
+
+        none = SparkContext._active_spark_context._jvm.scala.Option.empty()
+        jm.setSummary(none)
+    except Exception:
+        pass
+
+
 def build_text_classifier(
     text_col: str = "text", label_col: str = "label", num_features: int = 4096
 ) -> Pipeline:
@@ -69,6 +96,7 @@ def fill_missing_labels(
     unlabeled = df.filter(~(s.isNotNull() & (F.trim(s) != "")))
 
     model = build_text_classifier(text_col, label_col).fit(labeled)
+    _strip_training_summary(model.stages[4])
     indexer_model = model.stages[3]
     decode = IndexToString(
         inputCol="prediction", outputCol="_pred_label", labels=indexer_model.labels
@@ -158,7 +186,9 @@ def fill_missing_multilabel(
         train_i = train_feat.withColumn(
             "_y", F.array_contains("_labs", lab).cast("double")
         )
-        models.append(lr.fit(train_i))
+        m = lr.fit(train_i)
+        _strip_training_summary(m)
+        models.append(m)
     train_feat.unpersist()
 
     scored = featurizer.transform(unlabeled)

@@ -42,6 +42,26 @@ def multilabel_docs(spark):
     return spark.createDataFrame(rows, ["doc_id", "text", "labels"])
 
 
+def test_multilabel_survives_observation_poisoned_session(spark, multilabel_docs):
+    """Regression (r4): Spark ML training summaries hold the SparkSession,
+    and once anything initializes the session's lazy non-serializable
+    ObservationManager — the CC loop's convergence Observation does — any
+    summary-carrying model closure fails task serialization
+    (NotSerializableException: ObservationManager).  ml_enrich strips
+    summaries after fit, so enrichment must work in a session that has
+    already observed (the real pipeline order: cluster, then enrich)."""
+    from pyspark.sql import Observation
+
+    spark.range(5).observe(
+        Observation("poison_obsmanager"), F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    filled, vocab = ml_enrich.fill_missing_multilabel(
+        multilabel_docs, labels_col="labels"
+    )
+    assert vocab == ["animal", "tech"]
+    assert filled.count() == 36
+
+
 def test_fill_missing_multilabel(multilabel_docs):
     """Reference multilabel parity (VERDICT r3 ask #6): a record whose text
     carries both vocabularies must be filled with BOTH labels, '; '-joined
