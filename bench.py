@@ -341,15 +341,19 @@ def main() -> None:
     # lacks a clean run until it gets one, the repeat cap, or the budget.
     # The budget gate skips only legs whose level already has a run —
     # coverage never degrades.
+    # all three primary cycles run BEFORE the 4x-corpus block: the budget
+    # gate never skips a level's first run, so xl4 coverage survives
+    # regardless, while the primary minima always get their full depth
+    # even when a throttle phase eats the early budget
     leg_order = [
         ("xl", 1), ("xl", 4),
         ("std", 1), ("std", 4),
         ("xl", 1), ("xl", 4),
-        ("xl4", 2), ("xl4", 8), ("xl4", 32),
-        ("xl", 1), ("xl", 4),
         ("std", 2), ("std", 8),
+        ("xl", 1), ("xl", 4),
+        ("xl4", 2), ("xl4", 8), ("xl4", 32),
     ]
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2700"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "4200"))
     t_start = time.time()
     runs: dict[str, dict[int, list[dict]]] = {
         name: {1: [], 2: [], 4: [], 8: [], 32: []} for name in corpora
