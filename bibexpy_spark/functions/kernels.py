@@ -378,3 +378,82 @@ def rolling_fingerprints(
             fps = np.unique(win.min(axis=1))
         out.append(fps)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Suffix array — the literal data structure of the north rule's "suffix-array
+# pass for exact substring containment".  operators/containment.py uses it as
+# an opt-in verify backend: one array per OUTER document, probed by every
+# inner candidate, so a boilerplate pile-up (many inners against one hot
+# outer) pays the O(n log² n) build once and O(m log n) per probe instead of
+# O(n·m) per pair, and gets the match offset for free (reference analogue:
+# the shorter reference string folded into the longer on key containment,
+# MergeDB.py:210-278).
+
+
+def suffix_array(data: bytes | bytearray | np.ndarray) -> np.ndarray:
+    """Suffix array of a byte string via prefix doubling (Manber–Myers),
+    fully vectorized: each round is one ``np.lexsort`` over (rank, rank+k)
+    plus a cumsum rank compression — O(n log² n), no per-suffix Python."""
+    if isinstance(data, np.ndarray):
+        s = data.astype(np.uint8, copy=False)
+    else:
+        s = np.frombuffer(bytes(data), dtype=np.uint8)
+    n = int(s.size)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = s.astype(np.int64)
+    order = np.argsort(rank, kind="stable")
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        if k < n:
+            key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r1 = rank[order]
+        r2 = key2[order]
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[0] = 0
+        np.cumsum((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1]), out=new_rank[1:])
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new_rank
+        if new_rank[-1] == n - 1 or k >= n:
+            return order.astype(np.int64, copy=False)
+        k <<= 1
+
+
+def sa_find(text: bytes, sa: np.ndarray, pat: bytes) -> int:
+    """Leftmost occurrence of ``pat`` in ``text`` given ``text``'s suffix
+    array — ``str.find`` semantics (offset or -1; 0 for the empty pattern).
+
+    Two binary searches bound the SA range whose suffixes start with
+    ``pat`` (suffixes sharing a prefix are contiguous in SA order); the
+    leftmost TEXT offset is the minimum of that range, which the plain
+    lower-bound hit would not give (it is the lexicographically smallest
+    matching suffix, not the earliest one)."""
+    m = len(pat)
+    if m == 0:
+        return 0
+    n = len(text)
+    if m > n:
+        return -1
+    lo, hi = 0, n
+    while lo < hi:  # lower bound: first suffix whose m-prefix >= pat
+        mid = (lo + hi) // 2
+        off = int(sa[mid])
+        if text[off : off + m] < pat:
+            lo = mid + 1
+        else:
+            hi = mid
+    first = lo
+    hi = n
+    while lo < hi:  # upper bound: first suffix whose m-prefix > pat
+        mid = (lo + hi) // 2
+        off = int(sa[mid])
+        if text[off : off + m] <= pat:
+            lo = mid + 1
+        else:
+            hi = mid
+    if lo == first:
+        return -1
+    return int(sa[first:lo].min())

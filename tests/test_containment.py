@@ -1,0 +1,130 @@
+"""Suffix-array containment: kernel vs str.find (the independent check —
+python's own substring search, no shared code), backend equivalence
+(suffix-array verify == JVM contains verify over identical candidates), and
+recall of both general backends against the brute-force containment oracle
+on the fixture corpus (reference analogue: shorter reference string folded
+into the longer on key containment, MergeDB.py:210-278)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from bibexpy_spark import oracle
+from bibexpy_spark.config import CANONICAL
+from bibexpy_spark.functions import kernels, udfs
+from bibexpy_spark.operators import assembly, containment
+
+
+# ---------------------------------------------------------------------- kernel
+
+
+def test_suffix_array_matches_naive_sort():
+    for s in [b"", b"a", b"banana", b"aaaaaaaa", b"abracadabra", b"mississippi"]:
+        sa = kernels.suffix_array(s)
+        naive = sorted(range(len(s)), key=lambda i: s[i:])
+        assert list(sa) == naive, s
+
+
+def test_sa_find_matches_str_find_randomized():
+    """300 random texts over a 3-letter alphabet (maximal repeat structure),
+    patterns drawn from the text, mutated, and absent — leftmost-occurrence
+    semantics must equal bytes.find everywhere."""
+    rng = np.random.default_rng(4242)
+    alphabet = b"abc"
+    for _ in range(300):
+        n = int(rng.integers(0, 60))
+        text = bytes(alphabet[i] for i in rng.integers(0, 3, n))
+        sa = kernels.suffix_array(text)
+        pats = [b"", b"zzz", text, text + b"x"]
+        if n:
+            for _ in range(6):
+                i = int(rng.integers(0, n))
+                j = int(rng.integers(i, min(n, i + 10) + 1))
+                pats.append(text[i:j])
+                pats.append(text[i:j] + b"b")
+        for pat in pats:
+            assert kernels.sa_find(text, sa, pat) == text.find(pat), (text, pat)
+
+
+def test_sa_find_leftmost_not_lexicographic():
+    """'ab' occurs at 0 and 3 in 'abzab'; the lexicographically smallest
+    matching suffix is 'ab' (offset 3) but find must return 0."""
+    text = b"abzab"
+    sa = kernels.suffix_array(text)
+    assert kernels.sa_find(text, sa, b"ab") == 0
+
+
+# ------------------------------------------------------------------- operator
+
+
+def _signed(spark, turns_df):
+    conv = assembly.assemble_docs(turns_df)
+    return udfs.with_signature_columns(conv, CANONICAL, text_col="doc")
+
+
+def test_suffix_backend_equals_contains_backend(spark, turns_df):
+    signed = _signed(spark, turns_df)
+    kw = dict(sample_m=16, containment_threshold=0.9, max_shingle_freq=100_000)
+    via_contains = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment.shingle_containment_pairs(signed, CANONICAL, **kw).collect()
+    }
+    sa_rows = containment.suffix_containment_pairs(signed, CANONICAL, **kw).collect()
+    via_sa = {(r["inner_id"], r["outer_id"]) for r in sa_rows}
+    assert via_sa == via_contains
+    assert len(sa_rows) == len(via_sa)  # unique pairs, no dup emissions
+
+    # pos is the true leftmost offset in the outer's normalized text
+    norms = {r["conv_id"]: r["norm_text"] for r in signed.select("conv_id", "norm_text").collect()}
+    for r in sa_rows:
+        assert r["pos"] == norms[r["outer_id"]].find(norms[r["inner_id"]]), r
+
+
+def test_general_backends_cover_oracle_containment(spark, turns_pd, turns_df):
+    """Every brute-force containment pair whose inner is long enough to
+    carry a full shingle (the min-m capture precondition) is found; the
+    fixture's `contain` class is token-aligned so capture is lossless."""
+    signed = _signed(spark, turns_df)
+    exp = oracle.containment_pairs(oracle.assemble(turns_pd), CANONICAL)
+    norm = kernels.normalize_text(oracle.assemble(turns_pd)["doc"], CANONICAL)
+    ids = oracle.assemble(turns_pd)["conv_id"]
+    long_enough = {
+        i for i, t in zip(ids, norm) if len(t.split()) >= CANONICAL.shingle_k
+    }
+    expected = {
+        (r.inner_id, r.outer_id)
+        for r in exp.itertuples()
+        if r.inner_id in long_enough
+    }
+    assert expected, "fixture corpus must exercise the contain class"
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment.suffix_containment_pairs(
+            signed, CANONICAL, max_shingle_freq=100_000
+        ).collect()
+    }
+    missing = expected - got
+    assert not missing, f"suffix backend missed {len(missing)} oracle pairs: {sorted(missing)[:5]}"
+
+
+def test_hot_outer_amortization_shape(spark):
+    """The pile-up case the SA backend exists for: many inners against one
+    hot outer verify in a single group, all with correct offsets."""
+    inners = [f"unique inner segment number {i} with enough tokens to shingle fully" for i in range(12)]
+    outer = " then ".join(inners)
+    rows = [(f"in{i}", 0, "user", txt, "") for i, txt in enumerate(inners)]
+    rows.append(("out", 0, "user", outer, ""))
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    signed = _signed(spark, turns)
+    got = containment.suffix_containment_pairs(
+        signed, CANONICAL, containment_threshold=0.8, max_shingle_freq=100_000
+    ).collect()
+    pair_set = {(r["inner_id"], r["outer_id"]) for r in got}
+    assert {(f"in{i}", "out") for i in range(12)} <= pair_set
+    norm_outer = kernels.normalize_text(pd.Series([outer]), CANONICAL).iloc[0]
+    positions = sorted(r["pos"] for r in got if r["outer_id"] == "out")
+    assert positions[0] == 0 and positions == sorted(set(positions))
+    assert all(0 <= p < len(norm_outer) for p in positions)
