@@ -49,8 +49,16 @@ def run_dedup(
     run: RunContext | None = None,
     with_containment: bool = True,
     with_simhash_pass: bool = True,
+    containment_mode: str = "prefix",
 ) -> dict[str, Any]:
-    """Execute the pipeline; returns a dict of result DataFrames."""
+    """Execute the pipeline; returns a dict of result DataFrames.
+
+    ``containment_mode``: ``"prefix"`` (default — the lossless equi-join
+    pass, output key ``containment_prefix``), ``"general"`` or
+    ``"general_sa"`` (ALSO emit ``containment_pairs``: the complete
+    prefix ∪ interior pass with match offsets, verified by JVM instr or the
+    per-outer suffix array respectively — see operators/containment.py).
+    """
 
     def materialize(stage: str, build) -> DataFrame:
         if run is not None:
@@ -162,9 +170,19 @@ def run_dedup(
     }
 
     if with_containment:
+        if containment_mode not in ("prefix", "general", "general_sa"):
+            raise ValueError(f"unknown containment_mode: {containment_mode!r}")
         out["containment_prefix"] = materialize(
             "contain_prefix", lambda: containment.prefix_containment_pairs(signed, cfg)
         )
+        if containment_mode != "prefix":
+            backend = "contains" if containment_mode == "general" else "suffix_array"
+            out["containment_pairs"] = materialize(
+                "contain_general",
+                lambda: containment.general_containment_pairs(
+                    signed, cfg, backend=backend
+                ),
+            )
     if with_simhash_pass:
         out["simhash_pairs"] = materialize(
             "fuzzy", lambda: simhash.simhash_pairs(signed, cfg)

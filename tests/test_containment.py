@@ -108,6 +108,47 @@ def test_general_backends_cover_oracle_containment(spark, turns_pd, turns_df):
     assert not missing, f"suffix backend missed {len(missing)} oracle pairs: {sorted(missing)[:5]}"
 
 
+def test_pipeline_general_containment_mode(spark):
+    """An INTERIOR containment (inner mid-outer, not a prefix) is invisible
+    to the default prefix pass but caught by both general modes with the
+    correct offset; the prefix-contained pair appears in both with pos 0."""
+    from bibexpy_spark import pipeline
+
+    inner = "a distinctive inner conversation segment with plenty of shingle tokens inside"
+    prefix_inner = "completely unrelated opening preamble crafted for this particular fixture"
+    outer = prefix_inner + " " + inner + " and a closing remark"
+    rows = [
+        ("mid", 0, "user", inner, ""),
+        ("big", 0, "user", outer, ""),
+        ("pre", 0, "user", prefix_inner, ""),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    norm_outer = kernels.normalize_text(pd.Series([outer]), CANONICAL).iloc[0]
+    norm_inner = kernels.normalize_text(pd.Series([inner]), CANONICAL).iloc[0]
+
+    res_prefix = pipeline.run_dedup(spark, turns, with_simhash_pass=False)
+    assert "containment_pairs" not in res_prefix
+    pref_pairs = {
+        (r["inner_id"], r["outer_id"])
+        for r in res_prefix["containment_prefix"].collect()
+    }
+    assert ("mid", "big") not in pref_pairs
+    assert ("pre", "big") in pref_pairs
+
+    for mode in ("general", "general_sa"):
+        res = pipeline.run_dedup(
+            spark, turns, with_simhash_pass=False, containment_mode=mode
+        )
+        got = {
+            (r["inner_id"], r["outer_id"]): r["pos"]
+            for r in res["containment_pairs"].collect()
+        }
+        assert got[("mid", "big")] == norm_outer.find(norm_inner) > 0, mode
+        assert got[("pre", "big")] == 0, mode
+
+
 def test_hot_outer_amortization_shape(spark):
     """The pile-up case the SA backend exists for: many inners against one
     hot outer verify in a single group, all with correct offsets."""
