@@ -74,6 +74,7 @@ def run_incremental_dedup(
     prior_turns: DataFrame | None = None,
     with_containment: bool = False,
     with_simhash_pass: bool = False,
+    containment_mode: str = "prefix",
 ) -> dict[str, Any]:
     """Cluster ``new_turns`` against the prior corpus state.
 
@@ -101,7 +102,10 @@ def run_incremental_dedup(
     and unioning the delta pairs reproduces the batch pass over old ∪ new
     (equivalence pytest-gated).  These passes need ``prior_signed`` to carry
     ``norm_text`` / ``simhash`` columns respectively (the batch pipeline's
-    ``signed`` output has both).
+    ``signed`` output has both).  ``containment_mode`` mirrors
+    ``pipeline.run_dedup``: ``"general"`` / ``"general_sa"`` additionally
+    emit ``containment_pairs_new`` — the delta of the COMPLETE
+    (prefix ∪ interior, with match offsets) pass.
 
     Returns: signed_new (signatures for every delta conversation, grown ones
     re-signed over their merged turn set), clusters (full updated assignment
@@ -418,9 +422,18 @@ def run_incremental_dedup(
         else:
             old_full = prior_signed_orig.join(resigned, "conv_id", "left_anti")
         if with_containment:
+            if containment_mode not in ("prefix", "general", "general_sa"):
+                raise ValueError(f"unknown containment_mode: {containment_mode!r}")
             out["containment_prefix_new"] = containment.prefix_containment_pairs_delta(
                 old_full, signed_new, cfg
             )
+            if containment_mode != "prefix":
+                out["containment_pairs_new"] = containment.general_containment_pairs_delta(
+                    old_full,
+                    signed_new,
+                    cfg,
+                    backend="contains" if containment_mode == "general" else "suffix_array",
+                )
         if with_simhash_pass:
             out["simhash_pairs_new"] = simhash_op.simhash_pairs_delta(
                 old_full, signed_new, cfg

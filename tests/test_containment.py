@@ -149,6 +149,64 @@ def test_pipeline_general_containment_mode(spark):
         assert got[("pre", "big")] == 0, mode
 
 
+def _turns_df(spark, docs: dict[str, str]):
+    rows = [(cid, 0, "user", txt, "") for cid, txt in docs.items()]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+
+
+def test_general_containment_delta_equals_batch(spark):
+    """Incremental contract: prior pairs ∪ delta pairs == batch pass over
+    old ∪ new, and the delta emits exactly the >=1-new-endpoint pairs with
+    identical offsets — for BOTH verify backends."""
+    from bibexpy_spark.operators.containment import (
+        general_containment_pairs,
+        general_containment_pairs_delta,
+    )
+
+    seg_a = "one shared distinctive segment with enough shingle tokens for capture"
+    seg_b = "a second distinctive block of words long enough to shingle cleanly"
+    old = {
+        "o_outer": "opening words before the payload " + seg_a + " trailing old words",
+        "o_inner": seg_a,
+        "o_quiet": "an unrelated old conversation about something entirely different here",
+    }
+    new = {
+        "n_inner": seg_a,  # interior of o_outer; equal-text vs o_inner is NOT strict containment
+        "n_outer": "fresh preamble then " + seg_b + " then " + seg_a + " and closure",
+        "n_quiet": "a brand new conversation mentioning nothing shared with others at all",
+    }
+    old_signed = _signed(spark, _turns_df(spark, old))
+    new_signed = _signed(spark, _turns_df(spark, new))
+    all_signed = _signed(spark, _turns_df(spark, {**old, **new}))
+    kw = dict(max_shingle_freq=100_000)
+
+    for backend in ("contains", "suffix_array"):
+        batch_all = {
+            (r["inner_id"], r["outer_id"]): r["pos"]
+            for r in general_containment_pairs(all_signed, CANONICAL, backend, **kw).collect()
+        }
+        batch_old = {
+            (r["inner_id"], r["outer_id"]): r["pos"]
+            for r in general_containment_pairs(old_signed, CANONICAL, backend, **kw).collect()
+        }
+        delta = {
+            (r["inner_id"], r["outer_id"]): r["pos"]
+            for r in general_containment_pairs_delta(
+                old_signed, new_signed, CANONICAL, backend, **kw
+            ).collect()
+        }
+        new_ids = set(new)
+        expected_delta = {
+            p: pos for p, pos in batch_all.items() if p[0] in new_ids or p[1] in new_ids
+        }
+        assert delta == expected_delta, backend
+        assert {**batch_old, **delta} == batch_all, backend
+        # the fixture must actually exercise old-new containment both ways
+        assert ("o_inner", "n_outer") in delta and ("n_inner", "o_outer") in delta
+
+
 def test_hot_outer_amortization_shape(spark):
     """The pile-up case the SA backend exists for: many inners against one
     hot outer verify in a single group, all with correct offsets."""
