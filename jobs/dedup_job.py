@@ -8,7 +8,7 @@ The north rule's deployment contract: the pipeline runs via
         --input  <turns parquet/table>  \\
         --output <output dir>           \\
         --run-dir <warehouse dir for checkpoint/resume> \\
-        [--no-simhash] [--containment] [--shuffle-partitions N]
+        [--no-simhash] [--containment] [--containment-mode prefix|general|general_sa] [--shuffle-partitions N]
 
 Delta mode (daily increments; each run writes the state the next needs):
 
@@ -61,6 +61,13 @@ def main(argv: list[str] | None = None) -> None:
                     help="run id inside --run-dir (stable id = resumable)")
     ap.add_argument("--no-simhash", action="store_true")
     ap.add_argument("--containment", action="store_true")
+    ap.add_argument(
+        "--containment-mode", choices=["prefix", "general", "general_sa"],
+        default="prefix",
+        help="prefix = lossless equi-join pass only; general/general_sa also "
+             "run the complete prefix+interior pass (JVM instr / per-outer "
+             "suffix-array verify) and write containment_pairs",
+    )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--incremental", action="store_true",
                     help="treat --input as a DELTA batch against prior state")
@@ -151,10 +158,19 @@ def main(argv: list[str] | None = None) -> None:
         run=run,
         with_containment=args.containment,
         with_simhash_pass=not args.no_simhash,
+        containment_mode=args.containment_mode,
     )
     res["clusters"].write.mode("overwrite").parquet(
         os.path.join(args.output, "clusters")
     )
+    if args.containment:
+        res["containment_prefix"].write.mode("overwrite").parquet(
+            os.path.join(args.output, "containment_prefix")
+        )
+        if args.containment_mode != "prefix":
+            res["containment_pairs"].write.mode("overwrite").parquet(
+                os.path.join(args.output, "containment_pairs")
+            )
     res["dup_edges"].write.mode("overwrite").parquet(
         os.path.join(args.output, "dup_edges")
     )

@@ -182,3 +182,31 @@ def test_incremental_plan_no_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_general_containment_no_cartesian(spark):
+    """The complete containment pass (prefix ∪ interior, batch AND delta)
+    is equi-joins only: no CartesianProduct / BroadcastNestedLoopJoin in
+    either plan, for either verify backend."""
+    from bibexpy_spark import corpus
+    from bibexpy_spark.config import CANONICAL
+    from bibexpy_spark.functions import udfs
+    from bibexpy_spark.operators import assembly, containment
+
+    path = corpus.corpus_path_for_sf("/root/testdata/sf0.001")
+    turns = spark.read.parquet(path)
+    is_new = F.abs(F.xxhash64("conv_id")) % 10 >= 7
+
+    def signed(df):
+        conv = assembly.assemble_docs(df)
+        return udfs.with_signature_columns(conv, CANONICAL, text_col="doc")
+
+    old, new = signed(turns.filter(~is_new)), signed(turns.filter(is_new))
+    for df in (
+        containment.general_containment_pairs(old, CANONICAL, backend="contains"),
+        containment.general_containment_pairs(old, CANONICAL, backend="suffix_array"),
+        containment.general_containment_pairs_delta(old, new, CANONICAL),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

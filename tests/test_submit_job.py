@@ -48,6 +48,8 @@ def test_spark_submit_pyfiles_roundtrip(tmp_path):
                 "--run-dir", run_dir,
                 "--run-id", "t1",
                 "--no-simhash",
+                "--containment",
+                "--containment-mode", "general_sa",
             ],
             capture_output=True, text=True, timeout=600,
         )
@@ -71,6 +73,17 @@ def test_spark_submit_pyfiles_roundtrip(tmp_path):
         f"read_parquet('{out_dir}/clusters/*.parquet')"
     ).fetchone()
     assert n[0] == n_conv and n[1] == n_conv
+
+    # the general_sa containment mode wrote both containment outputs, and
+    # every interior pair names two distinct conversations
+    bad = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out_dir}/containment_pairs/*.parquet') "
+        f"WHERE inner_id = outer_id"
+    ).fetchone()[0]
+    assert bad == 0
+    duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out_dir}/containment_prefix/*.parquet')"
+    ).fetchone()
 
     # second run with the same run-id resumes: every stage manifest is fresh
     manifests = [
