@@ -109,35 +109,75 @@ def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix-containment pairs on SQL-expressible normalization (suffix-pass
-    analogue of reference merge_references, MergeDB.py:210-278)."""
-    keyed = _with_sql_norm(conv_df(spark, sf_dir)).select(
+def _containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-norm docs plus a deterministic 1/16 slice of WRAPPED variants
+    (``zz wrap head <norm> tail qq`` under ``<conv_id>_wrap``) so the corpus
+    positively contains INTERIOR containment pairs (pos > 0) — the synthetic
+    ``contain`` duplicate class is prefix-anchored only.  The derivation is
+    expressed identically in the DuckDB oracle (md5 bucket + string concat),
+    so both sides see the same document set."""
+    normed = _with_sql_norm(conv_df(spark, sf_dir)).select("conv_id", "norm")
+    wraps = normed.filter(
+        (F.substring(F.md5("conv_id"), 1, 1) == "0") & (F.col("norm") != "")
+    ).select(
+        F.concat(F.col("conv_id"), F.lit("_wrap")).alias("conv_id"),
+        F.concat(F.lit("zz wrap head "), F.col("norm"), F.lit(" tail qq")).alias(
+            "norm"
+        ),
+    )
+    return normed.unionByName(wraps)
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE substring-containment pass (suffix pass of the north
+    rule; reference analogue merge_references, MergeDB.py:210-278):
+    prefix-anchored pairs ∪ interior pairs, candidates from the min-m
+    shingle sketch vs the full inverted index, verified by the per-outer
+    SUFFIX-ARRAY backend (kernels.suffix_array), emitting the leftmost
+    match offset ``pos``.
+
+    Restricted to the provably-lossless regime — inner has >= K tokens and
+    occurs WORD-BOUNDARY-ALIGNED in the outer — where the engine's capture
+    argument (aligned substring => inner's k-gram shingles ⊆ outer's, so
+    inner's min-m sample necessarily hits the full index) is exact, making
+    the brute-force DuckDB ``contains`` oracle an equality check, pos
+    included.  Outside that regime (shorter inners, mid-token character
+    matches) the engine still emits pairs but completeness is best-effort;
+    the product surface is operators/containment.py, untouched here."""
+    from bibexpy_spark.functions import udfs
+    from bibexpy_spark.operators import containment as C
+
+    docs = _containment_docs(spark, sf_dir)
+    u = udfs.for_config(CANONICAL)
+    signed = docs.select(
+        "conv_id", F.col("norm").alias("norm_text")
+    ).withColumn("shingles", u["shingles"](F.col("norm_text")))
+    pairs = C.general_containment_pairs(signed, CANONICAL, backend="suffix_array")
+    meta = docs.select(
         "conv_id",
-        "norm",
-        F.length("norm").alias("len"),
-        F.concat_ws(" ", F.slice(F.split("norm", " "), 1, 8)).alias("pkey"),
-    )
-    a = keyed.select(
-        F.col("conv_id").alias("inner_id"),
-        F.col("norm").alias("inner_norm"),
-        F.col("len").alias("inner_len"),
-        "pkey",
-    )
-    b = keyed.select(
-        F.col("conv_id").alias("outer_id"),
-        F.col("norm").alias("outer_norm"),
-        F.col("len").alias("outer_len"),
-        "pkey",
+        F.concat(F.lit(" "), F.col("norm"), F.lit(" ")).alias("pad"),
+        F.size(F.split("norm", " ")).alias("ntok"),
     )
     return (
-        a.join(b, "pkey")
-        .filter(
-            (F.col("inner_id") != F.col("outer_id"))
-            & (F.col("inner_len") < F.col("outer_len"))
-            & F.col("outer_norm").startswith(F.col("inner_norm"))
+        pairs.join(
+            meta.select(
+                F.col("conv_id").alias("inner_id"),
+                F.col("pad").alias("inner_pad"),
+                F.col("ntok").alias("inner_ntok"),
+            ),
+            "inner_id",
         )
-        .select("inner_id", "outer_id")
+        .join(
+            meta.select(
+                F.col("conv_id").alias("outer_id"), F.col("pad").alias("outer_pad")
+            ),
+            "outer_id",
+        )
+        .filter(
+            (F.col("inner_ntok") >= K)
+            & F.col("outer_pad").contains(F.col("inner_pad"))
+        )
+        .select("inner_id", "outer_id", "pos")
     )
 
 
@@ -282,7 +322,7 @@ QUERIES = {
     "t_exact_dup_groups": q_exact_dup_groups,
     "t_gram_dup_pairs": q_gram_dup_pairs,
     "t_clusters": q_clusters,
-    "t_prefix_containment": q_prefix_containment,
+    "t_containment": q_containment,
     "t_turn_roundtrip": q_turn_roundtrip,
     "t_minhash_dup_pairs": q_minhash_dup_pairs,
     "t_canonical_clusters": q_canonical_clusters,
@@ -324,18 +364,25 @@ ORACLES = {
              CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_sz
       FROM (SELECT node AS conv_id, min(lab) AS cluster_id FROM reach GROUP BY node)
     """,
-    "t_prefix_containment": f"""
+    "t_containment": f"""
       WITH conv AS ({_CONV}),
       normed AS (SELECT conv_id, {_NORM} AS norm FROM conv),
+      docs AS (
+        SELECT conv_id, norm FROM normed
+        UNION ALL
+        SELECT conv_id || '_wrap', 'zz wrap head ' || norm || ' tail qq'
+        FROM normed WHERE substr(md5(conv_id), 1, 1) = '0' AND norm <> ''
+      ),
       keyed AS (
         SELECT conv_id, norm, length(norm) AS len,
-               array_to_string(list_slice(string_split(norm, ' '), 1, 8), ' ') AS pkey
-        FROM normed
+               len(string_split(norm, ' ')) AS ntok,
+               ' ' || norm || ' ' AS pad
+        FROM docs
       )
-      SELECT a.conv_id AS inner_id, b.conv_id AS outer_id
-      FROM keyed a JOIN keyed b ON a.pkey = b.pkey
-      WHERE a.conv_id <> b.conv_id AND a.len < b.len
-        AND starts_with(b.norm, a.norm)
+      SELECT a.conv_id AS inner_id, b.conv_id AS outer_id,
+             CAST(strpos(b.norm, a.norm) - 1 AS BIGINT) AS pos
+      FROM keyed a JOIN keyed b
+        ON a.len < b.len AND a.ntok >= {K} AND contains(b.pad, a.pad)
     """,
     "t_turn_roundtrip": f"""
       SELECT conv_id, CAST(count(*) AS BIGINT) AS n_matched
