@@ -50,6 +50,7 @@ def run_dedup(
     with_containment: bool = True,
     with_simhash_pass: bool = True,
     containment_mode: str = "prefix",
+    extra_cluster_edges: tuple[str, ...] = (),
 ) -> dict[str, Any]:
     """Execute the pipeline; returns a dict of result DataFrames.
 
@@ -58,6 +59,16 @@ def run_dedup(
     ``"general_sa"`` (ALSO emit ``containment_pairs``: the complete
     prefix ∪ interior pass with match offsets, verified by JVM instr or the
     per-outer suffix array respectively — see operators/containment.py).
+
+    ``extra_cluster_edges``: by default clusters form over exact ∪
+    Jaccard-verified edges only and the containment/SimHash passes are
+    emitted as SIGNALS (separate outputs).  Opt in with ``"containment"``
+    and/or ``"simhash"`` to additionally union those pairs into the edge
+    set before connected components — the reference's merge_references
+    semantics (MergeDB.py:210-278), where a contained record is FOLDED into
+    its container's group rather than reported alongside it.  Containment
+    edges use whichever pass ``containment_mode`` selects; each source
+    requires its pass to be enabled.
     """
 
     def materialize(stage: str, build) -> DataFrame:
@@ -129,6 +140,55 @@ def run_dedup(
     )
     all_edges = exact_edges_nid.unionByName(dup_edges_nid)
 
+    bad_sources = set(extra_cluster_edges) - {"containment", "simhash"}
+    if bad_sources:
+        raise ValueError(f"unknown extra_cluster_edges: {sorted(bad_sources)}")
+    if "containment" in extra_cluster_edges and not with_containment:
+        raise ValueError("extra_cluster_edges='containment' needs with_containment")
+    if "simhash" in extra_cluster_edges and not with_simhash_pass:
+        raise ValueError("extra_cluster_edges='simhash' needs with_simhash_pass")
+
+    # optional passes (signals by default; edge sources when opted in) —
+    # built before clustering so their pairs can join the edge set
+    containment_prefix = containment_general = simhash_pair_df = None
+    if with_containment:
+        if containment_mode not in ("prefix", "general", "general_sa"):
+            raise ValueError(f"unknown containment_mode: {containment_mode!r}")
+        containment_prefix = materialize(
+            "contain_prefix", lambda: containment.prefix_containment_pairs(signed, cfg)
+        )
+        if containment_mode != "prefix":
+            backend = "contains" if containment_mode == "general" else "suffix_array"
+            containment_general = materialize(
+                "contain_general",
+                lambda: containment.general_containment_pairs(
+                    signed, cfg, backend=backend
+                ),
+            )
+    if with_simhash_pass:
+        simhash_pair_df = materialize(
+            "fuzzy", lambda: simhash.simhash_pairs(signed, cfg)
+        )
+
+    def _str_pairs_to_nid_edges(df: DataFrame, a: str, b: str) -> DataFrame:
+        return df.select(
+            surrogate_id(F.col(a)).alias("a_id"), surrogate_id(F.col(b)).alias("b_id")
+        )
+
+    if "containment" in extra_cluster_edges:
+        src = (
+            containment_general
+            if containment_general is not None
+            else containment_prefix
+        )
+        all_edges = all_edges.unionByName(
+            _str_pairs_to_nid_edges(src, "inner_id", "outer_id")
+        )
+    if "simhash" in extra_cluster_edges:
+        all_edges = all_edges.unionByName(
+            _str_pairs_to_nid_edges(simhash_pair_df, "a_id", "b_id")
+        )
+
     def build_clusters() -> DataFrame:
         cl_nid = components.connected_components(
             all_edges, signed.select("nid"), cfg, id_col="nid"
@@ -169,24 +229,12 @@ def run_dedup(
         "clusters": clusters,
     }
 
-    if with_containment:
-        if containment_mode not in ("prefix", "general", "general_sa"):
-            raise ValueError(f"unknown containment_mode: {containment_mode!r}")
-        out["containment_prefix"] = materialize(
-            "contain_prefix", lambda: containment.prefix_containment_pairs(signed, cfg)
-        )
-        if containment_mode != "prefix":
-            backend = "contains" if containment_mode == "general" else "suffix_array"
-            out["containment_pairs"] = materialize(
-                "contain_general",
-                lambda: containment.general_containment_pairs(
-                    signed, cfg, backend=backend
-                ),
-            )
-    if with_simhash_pass:
-        out["simhash_pairs"] = materialize(
-            "fuzzy", lambda: simhash.simhash_pairs(signed, cfg)
-        )
+    if containment_prefix is not None:
+        out["containment_prefix"] = containment_prefix
+    if containment_general is not None:
+        out["containment_pairs"] = containment_general
+    if simhash_pair_df is not None:
+        out["simhash_pairs"] = simhash_pair_df
     return out
 
 

@@ -227,3 +227,93 @@ def test_hot_outer_amortization_shape(spark):
     positions = sorted(r["pos"] for r in got if r["outer_id"] == "out")
     assert positions[0] == 0 and positions == sorted(set(positions))
     assert all(0 <= p < len(norm_outer) for p in positions)
+
+
+# ------------------------------------------------------- cluster edge opt-in
+
+
+def _edge_fixture_turns(spark):
+    """Three conversations: ``inner`` is a verbatim prefix of ``outer`` but
+    only ~10% of its content (Jaccard far below threshold — NOT a near-dup),
+    plus an unrelated singleton."""
+    import pandas as pd  # noqa: PLC0415
+
+    shared = [f"alpha beta gamma token{i} delta" for i in range(3)]
+    extra = [f"unrelated filler content block number {i} with many words" for i in range(30)]
+    rows = []
+    for i, t in enumerate(shared):
+        rows.append(("inner", i, "user", t, "", 0))
+    for i, t in enumerate(shared + extra):
+        rows.append(("outer", i, "user", t, "", 0))
+    rows.append(("solo", 0, "user", "completely different text about nothing shared", "", 0))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+    return spark.createDataFrame(pdf)
+
+
+def test_containment_edges_fold_contained_into_cluster(spark):
+    """Default: containment pairs are a SIGNAL (inner/outer stay separate
+    clusters — Jaccard is ~0.1).  With extra_cluster_edges=('containment',)
+    the pair joins the edge set and the contained conversation is FOLDED
+    into its container's cluster (reference merge_references semantics,
+    MergeDB.py:210-278)."""
+    from bibexpy_spark import pipeline
+
+    turns = _edge_fixture_turns(spark)
+    base = pipeline.run_dedup(
+        spark, turns, with_containment=True, with_simhash_pass=False
+    )
+    got = {r["conv_id"]: r["cluster_id"] for r in base["clusters"].collect()}
+    assert got["inner"] != got["outer"], "fixture must not be a Jaccard dup"
+    # the signal itself exists
+    sig = {(r["inner_id"], r["outer_id"])
+           for r in base["containment_prefix"].collect()}
+    assert ("inner", "outer") in sig
+
+    folded = pipeline.run_dedup(
+        spark, turns, with_containment=True, with_simhash_pass=False,
+        extra_cluster_edges=("containment",),
+    )
+    got2 = {r["conv_id"]: r["cluster_id"] for r in folded["clusters"].collect()}
+    assert got2["inner"] == got2["outer"] == "inner"  # min conv_id wins
+    assert got2["solo"] == "solo"
+
+
+def test_extra_edges_validation_and_simhash_monotone(spark, turns_df):
+    """Unknown/unavailable edge sources raise; adding simhash edges can only
+    merge clusters (edge-superset monotonicity), never split them."""
+    import pytest  # noqa: PLC0415
+
+    from bibexpy_spark import pipeline
+
+    with pytest.raises(ValueError, match="unknown extra_cluster_edges"):
+        pipeline.run_dedup(spark, turns_df, extra_cluster_edges=("nope",))
+    with pytest.raises(ValueError, match="needs with_containment"):
+        pipeline.run_dedup(
+            spark, turns_df, with_containment=False,
+            extra_cluster_edges=("containment",),
+        )
+    with pytest.raises(ValueError, match="needs with_simhash_pass"):
+        pipeline.run_dedup(
+            spark, turns_df, with_simhash_pass=False,
+            extra_cluster_edges=("simhash",),
+        )
+
+    base = pipeline.run_dedup(spark, turns_df, with_containment=False)
+    merged = pipeline.run_dedup(
+        spark, turns_df, with_containment=False,
+        extra_cluster_edges=("simhash",),
+    )
+    n_base = base["clusters"].select("cluster_id").distinct().count()
+    n_merged = merged["clusters"].select("cluster_id").distinct().count()
+    assert n_merged <= n_base
+    # partition refinement: every base cluster maps into ONE merged cluster
+    j = (
+        base["clusters"].withColumnRenamed("cluster_id", "c_base")
+        .join(merged["clusters"], "conv_id")
+        .select("c_base", "cluster_id").distinct()
+        .groupBy("c_base").count().filter("count > 1").count()
+    )
+    assert j == 0
