@@ -8,13 +8,19 @@ The north rule's deployment contract: the pipeline runs via
         --input  <turns parquet/table>  \\
         --output <output dir>           \\
         --run-dir <warehouse dir for checkpoint/resume> \\
-        [--no-simhash] [--containment] [--containment-mode prefix|general|general_sa] [--shuffle-partitions N]
+        [--no-simhash] [--containment] [--containment-mode prefix|general|general_sa] \\
+        [--cluster-edges containment,simhash] [--shuffle-partitions N]
 
-Delta mode (daily increments; each run writes the state the next needs):
+Delta mode (daily increments; each run writes the state the next needs —
+signed signatures, clusters, and when the passes are on, the composed
+containment / SimHash pair tables):
 
     ... dedup_job.py --incremental \\
         --input <new turns> --output <out2> \\
-        --prior-signed <out1>/signed --prior-clusters <out1>/clusters
+        --prior-signed <out1>/signed --prior-clusters <out1>/clusters \\
+        [--prior-containment-prefix <out1>/containment_prefix] \\
+        [--prior-containment-pairs <out1>/containment_pairs] \\
+        [--prior-simhash-pairs <out1>/simhash_pairs]
 
 The script takes the ambient SparkSession from spark-submit (no master
 override — the cluster manager decides), runs the full
@@ -68,6 +74,13 @@ def main(argv: list[str] | None = None) -> None:
              "run the complete prefix+interior pass (JVM instr / per-outer "
              "suffix-array verify) and write containment_pairs",
     )
+    ap.add_argument(
+        "--cluster-edges", default="",
+        help="comma list of EXTRA cluster edge sources (containment,simhash) "
+             "to union into connected components — the reference's "
+             "merge_references fold-into-container semantics; default: those "
+             "passes stay separate signals (batch mode only)",
+    )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--incremental", action="store_true",
                     help="treat --input as a DELTA batch against prior state")
@@ -81,6 +94,14 @@ def main(argv: list[str] | None = None) -> None:
                     help="previously ingested turn rows (parquet) — required "
                          "when the delta appends turns to conversations "
                          "already in --prior-signed (retract-and-resign)")
+    ap.add_argument("--prior-containment-prefix", default=None,
+                    help="prior containment_prefix pair state (a previous "
+                         "run's <output>/containment_prefix); composed with "
+                         "this delta's pairs in --incremental mode")
+    ap.add_argument("--prior-containment-pairs", default=None,
+                    help="prior containment_pairs state (general modes)")
+    ap.add_argument("--prior-simhash-pairs", default=None,
+                    help="prior simhash_pairs state")
     ap.add_argument("--make-zip", action="store_true",
                     help="write bibexpy_spark.zip for --py-files and exit")
     args = ap.parse_args(argv)
@@ -90,6 +111,19 @@ def main(argv: list[str] | None = None) -> None:
         return
     if not args.input or not args.output:
         ap.error("--input and --output are required (or use --make-zip)")
+
+    edges = tuple(e for e in args.cluster_edges.split(",") if e)
+    bad = set(edges) - {"containment", "simhash"}
+    if bad:
+        ap.error(f"unknown --cluster-edges source(s): {sorted(bad)}")
+    if "containment" in edges and not args.containment:
+        ap.error("--cluster-edges containment needs --containment")
+    if "simhash" in edges and args.no_simhash:
+        ap.error("--cluster-edges simhash conflicts with --no-simhash")
+    if edges and args.incremental:
+        ap.error("--cluster-edges is batch-mode only (incremental clustering "
+                 "composes prior assignments; extra edge folding is not "
+                 "defined for delta state)")
 
     from pyspark.sql import SparkSession
 
@@ -107,12 +141,21 @@ def main(argv: list[str] | None = None) -> None:
     turns = (
         spark.table(args.input) if args.table else spark.read.parquet(args.input)
     )
+    # signed-state columns: the base signature set, plus what the enabled
+    # passes need to run delta-mode later (containment reads norm_text,
+    # the fuzzy pass reads simhash) — a prior state written WITHOUT a pass
+    # cannot serve an --incremental run WITH it
     _sig_cols = ["conv_id", "content_sha", "shingles", "band_hashes"]
+    if args.containment:
+        _sig_cols.append("norm_text")
+    if not args.no_simhash:
+        _sig_cols.append("simhash")
 
     if args.incremental:
         # delta mode: cluster the new batch against prior state; every run
-        # writes the state the NEXT delta run needs (signed = old ∪ new),
-        # so daily increments compose without ever re-signing the corpus
+        # writes the state the NEXT delta run needs (signed = old ∪ new,
+        # pair tables = prior-minus-resigned ∪ delta), so daily increments
+        # compose without ever re-reading the corpus
         if not args.prior_signed or not args.prior_clusters:
             ap.error("--incremental requires --prior-signed and --prior-clusters")
         from bibexpy_spark import incremental
@@ -122,9 +165,20 @@ def main(argv: list[str] | None = None) -> None:
         prior_turns = (
             spark.read.parquet(args.prior_turns) if args.prior_turns else None
         )
+        if args.containment and "norm_text" not in prior_signed.columns:
+            ap.error("--containment in --incremental mode needs a prior "
+                     "signed state written with --containment (norm_text "
+                     "column missing)")
+        if not args.no_simhash and "simhash" not in prior_signed.columns:
+            ap.error("the SimHash pass in --incremental mode needs a prior "
+                     "signed state written without --no-simhash (simhash "
+                     "column missing); pass --no-simhash to skip the pass")
         res = incremental.run_incremental_dedup(
             spark, turns, prior_signed, prior_clusters, cfg=CANONICAL,
             prior_turns=prior_turns,
+            with_containment=args.containment,
+            with_simhash_pass=not args.no_simhash,
+            containment_mode=args.containment_mode,
         )
         res["clusters"].write.mode("overwrite").parquet(
             os.path.join(args.output, "clusters")
@@ -139,6 +193,39 @@ def main(argv: list[str] | None = None) -> None:
         ).unionByName(
             res["signed_new"].select(*_sig_cols)
         ).write.mode("overwrite").parquet(os.path.join(args.output, "signed"))
+
+        def compose_pairs(delta_key: str, prior_path: str | None,
+                          out_name: str, a: str, b: str) -> None:
+            """Pair-state composition (the delta-op equivalence contract,
+            operators/containment.py + operators/simhash.py: prior pairs
+            minus pairs touching a re-signed conversation, union the delta
+            pairs, equals the batch pass over old ∪ new)."""
+            delta = res[delta_key]
+            composed = delta
+            if prior_path:
+                resigned = res["resigned_prior_ids"]
+                composed = (
+                    spark.read.parquet(prior_path)
+                    .join(resigned.withColumnRenamed("conv_id", a),
+                          a, "left_anti")
+                    .join(resigned.withColumnRenamed("conv_id", b),
+                          b, "left_anti")
+                    .select(*delta.columns)
+                    .unionByName(delta)
+                )
+            composed.write.mode("overwrite").parquet(
+                os.path.join(args.output, out_name)
+            )
+
+        if args.containment:
+            compose_pairs("containment_prefix_new", args.prior_containment_prefix,
+                          "containment_prefix", "inner_id", "outer_id")
+            if args.containment_mode != "prefix":
+                compose_pairs("containment_pairs_new", args.prior_containment_pairs,
+                              "containment_pairs", "inner_id", "outer_id")
+        if not args.no_simhash:
+            compose_pairs("simhash_pairs_new", args.prior_simhash_pairs,
+                          "simhash_pairs", "a_id", "b_id")
         stats = res["stats"].first().asDict()
         print(f"dedup_job (incremental): {stats}", file=sys.stderr)
         spark.stop()
@@ -146,7 +233,16 @@ def main(argv: list[str] | None = None) -> None:
 
     run = None
     if args.run_dir:
-        token = "" if args.table else input_token_for_paths(args.input)
+        # plan-shaping flags ride the freshness token: a stage manifest is
+        # only fresh when config, input AND flag set all match — otherwise a
+        # resume after toggling e.g. --no-simhash would wrongly skip the
+        # sign stage whose output schema the toggle changed
+        flag_token = (
+            f"|simhash={int(not args.no_simhash)}"
+            f"|contain={int(args.containment)}:{args.containment_mode}"
+            f"|edges={','.join(sorted(edges))}"
+        )
+        token = ("" if args.table else input_token_for_paths(args.input)) + flag_token
         run = RunContext(
             spark, cfg=CANONICAL, warehouse=args.run_dir,
             run_id=args.run_id, input_token=token,
@@ -159,6 +255,7 @@ def main(argv: list[str] | None = None) -> None:
         with_containment=args.containment,
         with_simhash_pass=not args.no_simhash,
         containment_mode=args.containment_mode,
+        extra_cluster_edges=edges,
     )
     res["clusters"].write.mode("overwrite").parquet(
         os.path.join(args.output, "clusters")
@@ -171,6 +268,10 @@ def main(argv: list[str] | None = None) -> None:
             res["containment_pairs"].write.mode("overwrite").parquet(
                 os.path.join(args.output, "containment_pairs")
             )
+    if not args.no_simhash:
+        res["simhash_pairs"].write.mode("overwrite").parquet(
+            os.path.join(args.output, "simhash_pairs")
+        )
     res["dup_edges"].write.mode("overwrite").parquet(
         os.path.join(args.output, "dup_edges")
     )

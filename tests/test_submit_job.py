@@ -102,8 +102,9 @@ def test_spark_submit_pyfiles_roundtrip(tmp_path):
 @pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
 def test_spark_submit_incremental_mode(tmp_path):
     """Deployment contract for delta runs: a batch submit writes corpus
-    state (signed + clusters); an --incremental submit folds a new batch in
-    and must reproduce the full-batch clustering exactly."""
+    state (signed + clusters + containment pair state); an --incremental
+    submit folds a new batch in and must reproduce the full-batch clustering
+    AND the composed containment pair table exactly."""
     import duckdb
 
     from bibexpy_spark import corpus
@@ -136,7 +137,8 @@ def test_spark_submit_incremental_mode(tmp_path):
                 "--conf", "spark.ui.enabled=false",
                 "--py-files", zip_path,
                 os.path.join(REPO, "jobs", "dedup_job.py"),
-                "--no-simhash", *extra,
+                "--no-simhash", "--containment",
+                "--containment-mode", "general", *extra,
             ],
             capture_output=True, text=True, timeout=600,
         )
@@ -152,6 +154,8 @@ def test_spark_submit_incremental_mode(tmp_path):
         "--input", new_p, "--output", out_incr, "--incremental",
         "--prior-signed", os.path.join(out_old, "signed"),
         "--prior-clusters", os.path.join(out_old, "clusters"),
+        "--prior-containment-prefix", os.path.join(out_old, "containment_prefix"),
+        "--prior-containment-pairs", os.path.join(out_old, "containment_pairs"),
     ])
     assert r.returncode == 0, r.stderr[-3000:]
 
@@ -167,6 +171,21 @@ def test_spark_submit_incremental_mode(tmp_path):
         f")"
     ).fetchone()[0]
     assert diff == 0, "incremental submit diverged from full-batch submit"
+    # composed containment pair state == the full-batch pass over old ∪ new
+    # (prior pairs minus resigned-touching, union delta pairs — the delta-op
+    # equivalence contract, operationalized by the job's state composition)
+    pair_diff = duckdb.sql(
+        f"SELECT count(*) FROM ("
+        f"  (SELECT inner_id, outer_id, pos FROM read_parquet('{out_incr}/containment_pairs/*.parquet')"
+        f"   EXCEPT"
+        f"   SELECT inner_id, outer_id, pos FROM read_parquet('{out_full}/containment_pairs/*.parquet'))"
+        f"  UNION ALL"
+        f"  (SELECT inner_id, outer_id, pos FROM read_parquet('{out_full}/containment_pairs/*.parquet')"
+        f"   EXCEPT"
+        f"   SELECT inner_id, outer_id, pos FROM read_parquet('{out_incr}/containment_pairs/*.parquet'))"
+        f")"
+    ).fetchone()[0]
+    assert pair_diff == 0, "composed containment state diverged from batch"
     # the next-delta state is written and complete: one signed row per
     # distinct conversation across old + new (derived, not hardcoded)
     n_conv = duckdb.sql(
