@@ -23,6 +23,10 @@ State layout under ``state_dir``:
     turns/     ingested turn rows (latest-wins on (conv_id, turn_idx)) —
                the prior_turns source for grown-conversation re-signing
     remaps/    batch_id, old_cluster_id, cluster_id         (append-only audit)
+    containment_prefix/ · containment_pairs/ · simhash_pairs/
+               composed pair state of the optional passes (prior minus
+               resigned-touching ∪ delta each batch — equals the batch pass
+               over everything ingested; only present when the pass is on)
     _committed/<batch_id>  marker files — a batch with a marker is skipped on
                checkpoint replay (the swap already committed)
 
@@ -65,11 +69,22 @@ def foreach_batch_incremental_dedup(
     state_dir: str,
     cfg: DedupConfig = CANONICAL,
     max_files_per_trigger: int | None = None,
+    with_containment: bool = False,
+    with_simhash_pass: bool = False,
+    containment_mode: str = "prefix",
 ):
     """Start the delta-folding stream; returns the StreamingQuery.
 
     ``max_files_per_trigger=1`` gives one micro-batch per dropped file —
-    the deterministic shape the equivalence test uses."""
+    the deterministic shape the equivalence test uses.
+
+    With ``with_containment`` / ``with_simhash_pass`` the state additionally
+    carries the composed PAIR tables of those passes (containment_prefix/,
+    containment_pairs/ for general modes, simhash_pairs/), folded per batch
+    as prior-minus-resigned ∪ delta — the same composition the submit job's
+    --incremental mode performs, so after any batch the pair state equals
+    the batch pass over everything ingested so far.  The signed state then
+    also carries the columns those passes read (norm_text / simhash)."""
     stream = read_turn_stream(spark, source_path)
     if max_files_per_trigger is not None:
         stream = (
@@ -81,6 +96,24 @@ def foreach_batch_incremental_dedup(
     clusters_p = os.path.join(state_dir, "clusters")
     turns_p = os.path.join(state_dir, "turns")
     remaps_p = os.path.join(state_dir, "remaps")
+
+    sig_cols = list(_SIG_COLS)
+    if with_containment:
+        sig_cols.append("norm_text")
+    if with_simhash_pass:
+        sig_cols.append("simhash")
+    # (delta-output key, state subdir, endpoint column names)
+    pair_states: list[tuple[str, str, str, str]] = []
+    if with_containment:
+        pair_states.append(
+            ("containment_prefix_new", "containment_prefix", "inner_id", "outer_id")
+        )
+        if containment_mode != "prefix":
+            pair_states.append(
+                ("containment_pairs_new", "containment_pairs", "inner_id", "outer_id")
+            )
+    if with_simhash_pass:
+        pair_states.append(("simhash_pairs_new", "simhash_pairs", "a_id", "b_id"))
 
     marker_dir = os.path.join(state_dir, "_committed")
 
@@ -103,14 +136,17 @@ def foreach_batch_incremental_dedup(
             else None
         )
         res = run_incremental_dedup(
-            spark, batch_df, prior_s, prior_c, cfg=cfg, prior_turns=prior_t
+            spark, batch_df, prior_s, prior_c, cfg=cfg, prior_turns=prior_t,
+            with_containment=with_containment,
+            with_simhash_pass=with_simhash_pass,
+            containment_mode=containment_mode,
         )
         # upsert semantics: a re-signed (grown) conversation REPLACES its
         # prior signature row; new conversations append
-        new_signed = res["signed_new"].select(*_SIG_COLS)
+        new_signed = res["signed_new"].select(*sig_cols)
         if have_state:
             new_signed = (
-                prior_s.select(*_SIG_COLS)
+                prior_s.select(*sig_cols)
                 .join(res["signed_new"].select("conv_id"), "conv_id", "left_anti")
                 .unionByName(new_signed)
             )
@@ -132,6 +168,19 @@ def foreach_batch_incremental_dedup(
         _stage(res["clusters"], clusters_p)
         _stage(new_signed, signed_p)
         _stage(new_turns_state, turns_p)
+        for delta_key, subdir, a, b in pair_states:
+            p = os.path.join(state_dir, subdir)
+            composed = res[delta_key]
+            if have_state and os.path.exists(p):
+                resigned = res["resigned_prior_ids"]
+                composed = (
+                    spark.read.parquet(p)
+                    .join(resigned.withColumnRenamed("conv_id", a), a, "left_anti")
+                    .join(resigned.withColumnRenamed("conv_id", b), b, "left_anti")
+                    .select(*composed.columns)
+                    .unionByName(composed)
+                )
+            _stage(composed, p)
         remap_tmp = os.path.join(state_dir, f"_remap_delta_{batch_id}")
         res["cluster_remap"].withColumn("batch_id", F.lit(batch_id)).write.mode(
             "overwrite"
@@ -139,6 +188,8 @@ def foreach_batch_incremental_dedup(
         _commit(clusters_p)
         _commit(signed_p)
         _commit(turns_p)
+        for _k, subdir, _a, _b in pair_states:
+            _commit(os.path.join(state_dir, subdir))
         # fold the staged remap delta into the flat append-only audit dir
         # under batch-unique names (replays overwrite, never duplicate)
         os.makedirs(remaps_p, exist_ok=True)

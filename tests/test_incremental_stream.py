@@ -55,3 +55,51 @@ def test_stream_of_deltas_equals_full_batch(spark, tmp_path):
     if os.path.exists(os.path.join(state, "remaps")):
         remaps = spark.read.parquet(os.path.join(state, "remaps"))
         assert {"batch_id", "old_cluster_id", "cluster_id"} <= set(remaps.columns)
+
+
+def test_stream_pair_state_equals_batch_passes(spark, tmp_path):
+    """With the optional passes on, the streamed pair state after the last
+    micro-batch equals the batch pipeline's containment/SimHash outputs
+    over everything ingested (composition: prior minus resigned ∪ delta)."""
+    src = tmp_path / "feed"
+    src.mkdir()
+    state = str(tmp_path / "state")
+
+    all_path = corpus.corpus_path_for_sf("/root/testdata/sf0.001")
+    turns = spark.read.parquet(all_path)
+    bucket = F.abs(F.xxhash64("conv_id")) % 2
+    import glob
+    import shutil
+
+    for i in range(2):
+        turns.filter(bucket == i).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"part{i}")
+        )
+        f = glob.glob(str(tmp_path / f"part{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, str(src / f"delta_{i}.parquet"))
+
+    q = istream.foreach_batch_incremental_dedup(
+        spark, str(src), state, max_files_per_trigger=1,
+        with_containment=True, with_simhash_pass=True,
+        containment_mode="general",
+    )
+    q.awaitTermination(300)
+
+    full = pipeline.run_dedup(
+        spark, turns, with_containment=True, with_simhash_pass=True,
+        containment_mode="general",
+    )
+    for subdir, key, cols in [
+        ("containment_prefix", "containment_prefix", ["inner_id", "outer_id"]),
+        ("containment_pairs", "containment_pairs", ["inner_id", "outer_id", "pos"]),
+        ("simhash_pairs", "simhash_pairs", ["a_id", "b_id", "hamming"]),
+    ]:
+        got = {
+            tuple(r[c] for c in cols)
+            for r in spark.read.parquet(os.path.join(state, subdir)).collect()
+        }
+        want = {tuple(r[c] for c in cols) for r in full[key].select(*cols).collect()}
+        assert got == want, f"{subdir}: streamed state != batch pass"
+    # signed state carries the pass columns for the next delta
+    sig_cols = set(spark.read.parquet(os.path.join(state, "signed")).columns)
+    assert {"norm_text", "simhash"} <= sig_cols
