@@ -75,6 +75,8 @@ def run_incremental_dedup(
     with_containment: bool = False,
     with_simhash_pass: bool = False,
     containment_mode: str = "prefix",
+    extra_cluster_edges: tuple[str, ...] = (),
+    prior_extra_pairs: DataFrame | None = None,
 ) -> dict[str, Any]:
     """Cluster ``new_turns`` against the prior corpus state.
 
@@ -107,6 +109,20 @@ def run_incremental_dedup(
     emit ``containment_pairs_new`` — the delta of the COMPLETE
     (prefix ∪ interior, with match offsets) pass.
 
+    ``extra_cluster_edges`` mirrors ``pipeline.run_dedup``: the named
+    passes' pairs additionally join the clustering edge set, and the result
+    equals the batch run with the same sources over old ∪ new — PROVIDED
+    the prior state was itself built with the same sources (quiet-cluster
+    connectivity through those pairs lives only in the prior assignments)
+    and, when the delta grows conversations, ``prior_extra_pairs`` supplies
+    the maintained prior pair state as a two-column (a_id, b_id) DataFrame
+    (the union of the state tables the submit job / stream handler keep):
+    a dissolved cluster's members re-enter clustering, and their surviving
+    pair edges exist nowhere else — the delta ops only emit
+    >=1-new-endpoint pairs.  Quiet-old pairs are NOT re-read: they are
+    contracted inside the prior cluster super-nodes, so the extra edge
+    volume stays O(|delta| + pairs touching dissolved clusters).
+
     Returns: signed_new (signatures for every delta conversation, grown ones
     re-signed over their merged turn set), clusters (full updated assignment
     over old ∪ new), cluster_remap (prior cluster_id -> new cluster_id, only
@@ -115,6 +131,16 @@ def run_incremental_dedup(
     optional delta pair sets above.
     """
     from pyspark.sql import types as T
+
+    bad_sources = set(extra_cluster_edges) - {"containment", "simhash"}
+    if bad_sources:
+        raise ValueError(f"unknown extra_cluster_edges: {sorted(bad_sources)}")
+    if "containment" in extra_cluster_edges and not with_containment:
+        raise ValueError("extra_cluster_edges='containment' needs with_containment")
+    if "simhash" in extra_cluster_edges and not with_simhash_pass:
+        raise ValueError("extra_cluster_edges='simhash' needs with_simhash_pass")
+    if with_containment and containment_mode not in ("prefix", "general", "general_sa"):
+        raise ValueError(f"unknown containment_mode: {containment_mode!r}")
 
     carried: DataFrame | None = None
     touched_cluster_ids: DataFrame | None = None
@@ -297,6 +323,98 @@ def run_incremental_dedup(
     verified = verify_op.verify_pairs(cand, combined, cfg, id_col="conv_id")
     dup_edges = verified.filter(F.col("is_dup")).select("a_id", "b_id")
 
+    # 4b) optional pass deltas (computed before clustering so their pairs
+    #     can join the edge set): contain/fuzzy run over ALL rows (not
+    #     exact-dup reps), so their old side is the ORIGINAL prior corpus
+    #     minus the re-signed conversations (whose stale rows the caller
+    #     also drops from the prior pair state via resigned_prior_ids)
+    resigned = (
+        resigned_ids
+        if resigned_ids is not None
+        else new.select("conv_id").filter(F.lit(False))
+    )
+    delta_passes: dict[str, DataFrame] = {}
+    if with_containment or with_simhash_pass:
+        if prior_signed_orig is None:
+            old_full = signed_new.filter(F.lit(False))
+        else:
+            old_full = prior_signed_orig.join(resigned, "conv_id", "left_anti")
+        if with_containment:
+            delta_passes["containment_prefix_new"] = (
+                containment.prefix_containment_pairs_delta(old_full, signed_new, cfg)
+            )
+            if containment_mode != "prefix":
+                delta_passes["containment_pairs_new"] = (
+                    containment.general_containment_pairs_delta(
+                        old_full,
+                        signed_new,
+                        cfg,
+                        backend="contains"
+                        if containment_mode == "general"
+                        else "suffix_array",
+                    )
+                )
+        if with_simhash_pass:
+            delta_passes["simhash_pairs_new"] = simhash_op.simhash_pairs_delta(
+                old_full, signed_new, cfg
+            )
+
+    extra_edge_df: DataFrame | None = None
+    if extra_cluster_edges:
+        legs: list[DataFrame] = []
+        if "containment" in extra_cluster_edges:
+            src = delta_passes.get(
+                "containment_pairs_new", delta_passes["containment_prefix_new"]
+            )
+            legs.append(
+                src.select(
+                    F.col("inner_id").alias("a_id"), F.col("outer_id").alias("b_id")
+                )
+            )
+        if "simhash" in extra_cluster_edges:
+            legs.append(delta_passes["simhash_pairs_new"].select("a_id", "b_id"))
+        extra_edge_df = legs[0]
+        for leg in legs[1:]:
+            extra_edge_df = extra_edge_df.unionByName(leg)
+        if carried is not None:
+            # a dissolved cluster's members re-enter clustering; their
+            # surviving pair edges live ONLY in the maintained prior pair
+            # state (the delta ops emit >=1-new-endpoint pairs; quiet-old
+            # connectivity is contracted inside the prior super-nodes)
+            if prior_extra_pairs is None:
+                raise ValueError(
+                    "extra_cluster_edges with a grown delta needs "
+                    "prior_extra_pairs (the maintained pair state): a "
+                    "dissolved cluster's surviving pair edges exist "
+                    "nowhere else"
+                )
+            carried_ids = carried.select("conv_id")
+            pe = prior_extra_pairs.select("a_id", "b_id")
+            touching = (
+                pe.join(
+                    carried_ids.withColumnRenamed("conv_id", "a_id"),
+                    "a_id", "left_semi",
+                )
+                .unionByName(
+                    pe.join(
+                        carried_ids.withColumnRenamed("conv_id", "b_id"),
+                        "b_id", "left_semi",
+                    ).select("a_id", "b_id")
+                )
+                .dropDuplicates(["a_id", "b_id"])
+                # stale pairs of re-signed conversations: the delta ops
+                # re-emit their live successors
+                .join(
+                    resigned.withColumnRenamed("conv_id", "a_id"),
+                    "a_id", "left_anti",
+                )
+                .join(
+                    resigned.withColumnRenamed("conv_id", "b_id"),
+                    "b_id", "left_anti",
+                )
+            )
+            extra_edge_df = extra_edge_df.unionByName(touching)
+
     # 5) connected components with prior clusters contracted to super-nodes:
     #    old endpoints map to their prior cluster_id (already the member
     #    minimum, so component labels stay global min conv_id)
@@ -322,6 +440,8 @@ def run_incremental_dedup(
         .unionByName(_contract(new_exact_edges))
         .unionByName(_contract(dup_edges))
     )
+    if extra_edge_df is not None:
+        all_edges = all_edges.unionByName(_contract(extra_edge_df))
     nodes = (
         new.select(F.col("conv_id").alias("key"))
         .unionByName(prior_clusters.select(F.col("cluster_id").alias("key")).distinct())
@@ -397,11 +517,6 @@ def run_incremental_dedup(
         for df in (signed_new, new, combined, ex2):
             df.unpersist()
 
-    resigned = (
-        resigned_ids
-        if resigned_ids is not None
-        else new.select("conv_id").filter(F.lit(False))
-    )
     out: dict[str, Any] = {
         "signed_new": signed_new,
         "clusters": clusters,
@@ -412,30 +527,5 @@ def run_incremental_dedup(
         "stats": stats,
         "cleanup": _cleanup,
     }
-    if with_containment or with_simhash_pass:
-        # contain/fuzzy passes run over ALL rows (not exact-dup reps), so
-        # their old side is the ORIGINAL prior corpus minus the re-signed
-        # conversations (whose stale rows the caller also drops from the
-        # prior pair state via resigned_prior_ids)
-        if prior_signed_orig is None:
-            old_full = signed_new.filter(F.lit(False))
-        else:
-            old_full = prior_signed_orig.join(resigned, "conv_id", "left_anti")
-        if with_containment:
-            if containment_mode not in ("prefix", "general", "general_sa"):
-                raise ValueError(f"unknown containment_mode: {containment_mode!r}")
-            out["containment_prefix_new"] = containment.prefix_containment_pairs_delta(
-                old_full, signed_new, cfg
-            )
-            if containment_mode != "prefix":
-                out["containment_pairs_new"] = containment.general_containment_pairs_delta(
-                    old_full,
-                    signed_new,
-                    cfg,
-                    backend="contains" if containment_mode == "general" else "suffix_array",
-                )
-        if with_simhash_pass:
-            out["simhash_pairs_new"] = simhash_op.simhash_pairs_delta(
-                old_full, signed_new, cfg
-            )
+    out.update(delta_passes)
     return out

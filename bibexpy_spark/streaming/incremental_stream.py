@@ -72,6 +72,7 @@ def foreach_batch_incremental_dedup(
     with_containment: bool = False,
     with_simhash_pass: bool = False,
     containment_mode: str = "prefix",
+    extra_cluster_edges: tuple[str, ...] = (),
 ):
     """Start the delta-folding stream; returns the StreamingQuery.
 
@@ -84,7 +85,13 @@ def foreach_batch_incremental_dedup(
     as prior-minus-resigned ∪ delta — the same composition the submit job's
     --incremental mode performs, so after any batch the pair state equals
     the batch pass over everything ingested so far.  The signed state then
-    also carries the columns those passes read (norm_text / simhash)."""
+    also carries the columns those passes read (norm_text / simhash).
+
+    ``extra_cluster_edges`` folds the named passes' pairs into the
+    clustering edge set per batch (mirrors ``pipeline.run_dedup``); the
+    handler feeds its own maintained pair state back as
+    ``prior_extra_pairs``, so the chain stays batch-equivalent to a full
+    run with the same sources."""
     stream = read_turn_stream(spark, source_path)
     if max_files_per_trigger is not None:
         stream = (
@@ -135,11 +142,36 @@ def foreach_batch_incremental_dedup(
             if have_state and os.path.exists(turns_p)
             else None
         )
+        prior_extra = None
+        if extra_cluster_edges and have_state:
+            legs = []
+            if "containment" in extra_cluster_edges:
+                sub = (
+                    "containment_pairs"
+                    if containment_mode != "prefix"
+                    else "containment_prefix"
+                )
+                p = os.path.join(state_dir, sub)
+                if os.path.exists(p):
+                    legs.append(
+                        spark.read.parquet(p).select(
+                            F.col("inner_id").alias("a_id"),
+                            F.col("outer_id").alias("b_id"),
+                        )
+                    )
+            if "simhash" in extra_cluster_edges:
+                p = os.path.join(state_dir, "simhash_pairs")
+                if os.path.exists(p):
+                    legs.append(spark.read.parquet(p).select("a_id", "b_id"))
+            for leg in legs:
+                prior_extra = leg if prior_extra is None else prior_extra.unionByName(leg)
         res = run_incremental_dedup(
             spark, batch_df, prior_s, prior_c, cfg=cfg, prior_turns=prior_t,
             with_containment=with_containment,
             with_simhash_pass=with_simhash_pass,
             containment_mode=containment_mode,
+            extra_cluster_edges=extra_cluster_edges,
+            prior_extra_pairs=prior_extra,
         )
         # upsert semantics: a re-signed (grown) conversation REPLACES its
         # prior signature row; new conversations append

@@ -79,7 +79,9 @@ def main(argv: list[str] | None = None) -> None:
         help="comma list of EXTRA cluster edge sources (containment,simhash) "
              "to union into connected components — the reference's "
              "merge_references fold-into-container semantics; default: those "
-             "passes stay separate signals (batch mode only)",
+             "passes stay separate signals.  In --incremental mode the "
+             "matching --prior-* pair state is required and the result "
+             "equals a batch run with the same sources",
     )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--incremental", action="store_true",
@@ -121,9 +123,22 @@ def main(argv: list[str] | None = None) -> None:
     if "simhash" in edges and args.no_simhash:
         ap.error("--cluster-edges simhash conflicts with --no-simhash")
     if edges and args.incremental:
-        ap.error("--cluster-edges is batch-mode only (incremental clustering "
-                 "composes prior assignments; extra edge folding is not "
-                 "defined for delta state)")
+        # incremental edge folding consumes the maintained pair state (a
+        # dissolved cluster's surviving edges exist nowhere else), so the
+        # matching prior pair tables are required
+        if "containment" in edges:
+            need = ("--prior-containment-pairs"
+                    if args.containment_mode != "prefix"
+                    else "--prior-containment-prefix")
+            have = (args.prior_containment_pairs
+                    if args.containment_mode != "prefix"
+                    else args.prior_containment_prefix)
+            if not have:
+                ap.error(f"--cluster-edges containment with --incremental "
+                         f"needs {need} (the prior run's pair state)")
+        if "simhash" in edges and not args.prior_simhash_pairs:
+            ap.error("--cluster-edges simhash with --incremental needs "
+                     "--prior-simhash-pairs (the prior run's pair state)")
 
     from pyspark.sql import SparkSession
 
@@ -173,12 +188,37 @@ def main(argv: list[str] | None = None) -> None:
             ap.error("the SimHash pass in --incremental mode needs a prior "
                      "signed state written without --no-simhash (simhash "
                      "column missing); pass --no-simhash to skip the pass")
+        prior_extra = None
+        if edges:
+            from pyspark.sql import functions as F
+
+            legs = []
+            if "containment" in edges:
+                cpath = (args.prior_containment_pairs
+                         if args.containment_mode != "prefix"
+                         else args.prior_containment_prefix)
+                legs.append(
+                    spark.read.parquet(cpath).select(
+                        F.col("inner_id").alias("a_id"),
+                        F.col("outer_id").alias("b_id"),
+                    )
+                )
+            if "simhash" in edges:
+                legs.append(
+                    spark.read.parquet(args.prior_simhash_pairs)
+                    .select("a_id", "b_id")
+                )
+            prior_extra = legs[0]
+            for leg in legs[1:]:
+                prior_extra = prior_extra.unionByName(leg)
         res = incremental.run_incremental_dedup(
             spark, turns, prior_signed, prior_clusters, cfg=CANONICAL,
             prior_turns=prior_turns,
             with_containment=args.containment,
             with_simhash_pass=not args.no_simhash,
             containment_mode=args.containment_mode,
+            extra_cluster_edges=edges,
+            prior_extra_pairs=prior_extra,
         )
         res["clusters"].write.mode("overwrite").parquet(
             os.path.join(args.output, "clusters")

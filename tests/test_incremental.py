@@ -257,3 +257,76 @@ def test_incremental_empty_delta_is_identity(spark, split_corpus):
     )
     assert incr["cluster_remap"].count() == 0
     assert _cluster_set(incr["clusters"]) == _cluster_set(prior["clusters"])
+
+
+def test_incremental_extra_edges_equals_batch(spark, split_corpus, tmp_path):
+    """Capstone: extra_cluster_edges in INCREMENTAL mode, grown delta, equals
+    the batch run folding the same sources.  The three edge legs compose:
+    quiet-cluster connectivity rides the contracted prior super-nodes, pairs
+    touching dissolved clusters come from the maintained prior pair state,
+    >=1-new-endpoint pairs from the delta ops."""
+    _, _, all_turns = split_corpus
+    old_phase, delta = _grown_split(all_turns)
+    EDGES = ("containment", "simhash")
+    kw = dict(
+        with_containment=True, with_simhash_pass=True, containment_mode="general"
+    )
+    try:
+        full = pipeline.run_dedup(
+            spark, all_turns, extra_cluster_edges=EDGES, **kw
+        )
+        prior = pipeline.run_dedup(
+            spark, old_phase, extra_cluster_edges=EDGES, **kw
+        )
+        prior_s, prior_c = _state_tables(spark, prior, tmp_path, "xe")
+        # the maintained pair state, normalized the way the job/stream would
+        # union their state tables
+        psp = str(tmp_path / "xe_pairs")
+        prior["containment_pairs"].select(
+            F.col("inner_id").alias("a_id"), F.col("outer_id").alias("b_id")
+        ).unionByName(
+            prior["simhash_pairs"].select("a_id", "b_id")
+        ).write.mode("overwrite").parquet(psp)
+
+        incr = incremental.run_incremental_dedup(
+            spark, delta, prior_s, prior_c, prior_turns=old_phase,
+            extra_cluster_edges=EDGES,
+            prior_extra_pairs=spark.read.parquet(psp),
+            **kw,
+        )
+        assert _cluster_set(incr["clusters"]) == _cluster_set(full["clusters"])
+        # the fold genuinely coarsens vs the no-extra-edges run (otherwise
+        # this test proves nothing about the extra legs)
+        plain = pipeline.run_dedup(
+            spark, all_turns, with_containment=False, with_simhash_pass=False
+        )
+        n_plain = plain["clusters"].select("cluster_id").distinct().count()
+        n_fold = full["clusters"].select("cluster_id").distinct().count()
+        assert n_fold < n_plain
+        incr["cleanup"]()
+    finally:
+        old_phase.unpersist()
+        delta.unpersist()
+
+
+def test_incremental_extra_edges_grown_requires_pair_state(
+    spark, split_corpus, tmp_path
+):
+    """A grown delta dissolves clusters; without the maintained pair state
+    their surviving extra edges are unrecoverable — must fail loudly."""
+    _, _, all_turns = split_corpus
+    old_phase, delta = _grown_split(all_turns)
+    try:
+        prior = pipeline.run_dedup(
+            spark, old_phase, with_containment=True, with_simhash_pass=False
+        )
+        prior_s, prior_c = _state_tables(spark, prior, tmp_path, "xr")
+        with pytest.raises(ValueError, match="prior_extra_pairs"):
+            incremental.run_incremental_dedup(
+                spark, delta, prior_s, prior_c, prior_turns=old_phase,
+                with_containment=True,
+                extra_cluster_edges=("containment",),
+            )
+    finally:
+        old_phase.unpersist()
+        delta.unpersist()

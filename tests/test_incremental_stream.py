@@ -103,3 +103,43 @@ def test_stream_pair_state_equals_batch_passes(spark, tmp_path):
     # signed state carries the pass columns for the next delta
     sig_cols = set(spark.read.parquet(os.path.join(state, "signed")).columns)
     assert {"norm_text", "simhash"} <= sig_cols
+
+
+def test_stream_extra_edges_equals_batch(spark, tmp_path):
+    """A micro-batch chain folding containment edges (feeding its own
+    maintained pair state back per batch) ends at exactly the clustering of
+    one batch run with the same edge sources."""
+    src = tmp_path / "feed"
+    src.mkdir()
+    state = str(tmp_path / "state")
+
+    all_path = corpus.corpus_path_for_sf("/root/testdata/sf0.001")
+    turns = spark.read.parquet(all_path)
+    bucket = F.abs(F.xxhash64("conv_id")) % 2
+    import glob
+    import shutil
+
+    for i in range(2):
+        turns.filter(bucket == i).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"part{i}")
+        )
+        f = glob.glob(str(tmp_path / f"part{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, str(src / f"delta_{i}.parquet"))
+
+    q = istream.foreach_batch_incremental_dedup(
+        spark, str(src), state, max_files_per_trigger=1,
+        with_containment=True, containment_mode="general",
+        extra_cluster_edges=("containment",),
+    )
+    q.awaitTermination(300)
+
+    full = pipeline.run_dedup(
+        spark, turns, with_containment=True, with_simhash_pass=False,
+        containment_mode="general", extra_cluster_edges=("containment",),
+    )
+    got = {
+        (r["conv_id"], r["cluster_id"])
+        for r in spark.read.parquet(os.path.join(state, "clusters")).collect()
+    }
+    want = {(r["conv_id"], r["cluster_id"]) for r in full["clusters"].collect()}
+    assert got == want
