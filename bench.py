@@ -725,6 +725,67 @@ def _write_bench_md(result, per_corpus) -> None:
             "linear in corpus size — the pile-up never goes quadratic.",
         ]
 
+    incr_path = os.path.join(REPO, "data", "incremental_bench.json")
+    if os.path.exists(incr_path):
+        ib = json.load(open(incr_path))
+        lines += [
+            "",
+            "## Incremental delta-mode vs full-batch recompute",
+            "",
+            f"Corpus: {ib['corpus']} — {ib['n_conversations']} conversations"
+            f" ({ib['n_turns']} turns), delta = {ib['delta_pct']}% of"
+            f" conversations ({ib['n_delta_conversations']} convs /"
+            f" {ib['n_delta_turns']} turns), local[{ib['cores']}].  Each"
+            " cycle runs both legs back-to-back with order alternating;"
+            " a constant shuffle-free probe (kernel-reference signing pass)"
+            " runs immediately before each leg to sample the host phase, so"
+            " the NORMALIZED ratio (full_s/full_probe)/(incr_s/incr_probe)"
+            " survives the mid-cycle throttle flips this VM exhibits."
+            "  Cluster counts asserted equal every cycle.",
+            "",
+            "| cycle | full (s) | incr (s) | probes f/i (s) | raw | normalized |",
+            "|---|---|---|---|---|---|",
+        ]
+        for i, r in enumerate(ib["cycles"]):
+            probes = (
+                f"{r['full_probe_s']} / {r['incr_probe_s']}"
+                if "full_probe_s" in r else "—"
+            )
+            lines.append(
+                f"| {i + 1} ({r['order']}) | {r['full_s']} | {r['incr_s']} "
+                f"| {probes} | {r['speedup']}x "
+                f"| {r.get('speedup_normalized', '—')}x |"
+            )
+        ds = ib.get("delta_stats", {})
+        lines += [
+            "",
+            f"Minima: full {ib['full_batch_s_min']}s vs incremental "
+            f"{ib['incremental_s_min']}s — **{ib['speedup_minima']}x**; "
+            f"paired per-cycle speedups {ib['speedup_paired']}"
+            + (
+                f" (best paired cycle **{ib['speedup_paired_best']}x**)"
+                if "speedup_paired_best" in ib else ""
+            )
+            + (
+                f"; probe-normalized {ib['speedup_normalized']} — median "
+                f"**{ib['speedup_normalized_median']}x**."
+                if "speedup_normalized_median" in ib else "."
+            ),
+            "",
+            f"Delta volume: {ds.get('n_new')} new conversations signed, "
+            f"{ds.get('n_candidates')} candidate pairs, "
+            f"{ds.get('n_dup_edges')} verified dup edges, "
+            f"{ds.get('n_merged_prior_clusters')} prior clusters merged.",
+            "",
+            "Reading: the incremental leg signs ONLY the delta and prunes",
+            "quiet LSH buckets before the band join, so its wall tracks",
+            "|delta|, not |corpus|.  The residual full-corpus terms",
+            f"({ib['residual_full_corpus_terms']}) keep the measured ratio",
+            "an UNDERSTATEMENT of the production gap, where those scans",
+            "become maintained state tables and the corpus is 10^6x the",
+            "delta instead of 100x.",
+        ]
+
     lines += [
         "",
         "## Headline queries (sf0.1, local[32], fully materialized)",
@@ -745,8 +806,47 @@ def _write_bench_md(result, per_corpus) -> None:
         f.write("\n".join(lines) + "\n")
 
 
+def refresh_md(session_path: str) -> None:
+    """Rewrite BENCH.md from a saved session-result JSON (the dict main()
+    prints) — lets the report fold in refreshed side evidence (skew /
+    incremental / host-baseline JSONs) without re-running the scaling legs."""
+    result = json.load(open(session_path))
+
+    def _scal(key: str) -> dict:
+        return {
+            int(k[len("local["):-1]): v for k, v in result.get(key, {}).items()
+        }
+
+    all_pairs = result.get("scaling_pairs", {})
+    per_corpus: dict[str, dict] = {}
+    if result.get("pipeline"):
+        per_corpus["xl"] = {
+            "scaling": _scal("pipeline"),
+            "pairs": {k: v for k, v in all_pairs.items() if not k.startswith("xl4_")},
+        }
+    if result.get("pipeline_xl4"):
+        per_corpus["xl4"] = {
+            "scaling": _scal("pipeline_xl4"),
+            "pairs": {
+                k[len("xl4_"):]: v for k, v in all_pairs.items()
+                if k.startswith("xl4_")
+            },
+        }
+    if result.get("pipeline_std"):
+        per_corpus["std"] = {
+            "scaling": _scal("pipeline_std"),
+            "pairs": result.get("scaling_pairs_std", {}),
+        }
+    _write_bench_md(result, per_corpus)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) >= 2 and sys.argv[1] == "--leg":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--refresh-md":
+        refresh_md(
+            sys.argv[2] if len(sys.argv) > 2
+            else os.path.join(REPO, "data", "bench_r4_session.json")
+        )
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--leg":
         if len(sys.argv) >= 6:
             # --leg cores turns_path kernel_path out_json
             run_leg(int(sys.argv[2]), sys.argv[3], sys.argv[5],

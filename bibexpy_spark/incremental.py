@@ -37,8 +37,11 @@ approximation the batch path already makes.
 
 Scale shape:
   * signing cost is O(|delta|), never O(|corpus|);
-  * the band join touches only buckets CONTAINING a new member (the
-    has_new flag prunes the old corpus's quiet buckets before the join);
+  * the band join touches only buckets CONTAINING a new member, and the
+    touched-bucket set is derived from the DELTA's own band hashes before
+    any aggregation — the old corpus is scanned (narrow conv_id+bands
+    projection, semi-join) but never wide-shuffled: the bucket groupBy is
+    O(|touched|), not O(|corpus|·bands);
   * prior clusters enter connected components CONTRACTED to one super-node
     per cluster (its cluster_id, which is already the min conv_id of its
     members), so CC size is O(|delta| + |touched clusters|), not
@@ -269,14 +272,39 @@ def run_incremental_dedup(
     #    (small buckets) or with the bucket representative (star fallback —
     #    including old members when the rep itself is new, matching the
     #    batch policy's edge set for the combined corpus)
+    #    Shuffle shape (r4): a bucket participates iff it CONTAINS a new
+    #    member, and a bucket's key (band_idx, band_hash) is carried by
+    #    every one of its members — so the touched-bucket set is exactly
+    #    the delta reps' own band hashes.  Semi-joining the old side down
+    #    to touched rows BEFORE any aggregation turns the bucket groupBy
+    #    from an O(|corpus|·bands) shuffle into an O(|touched|) one; the
+    #    old corpus is only ever SCANNED (narrow conv_id+bands projection,
+    #    broadcast/AQE semi-join, no wide shuffle).  The surviving bucket
+    #    set, bucket_n, and bucket_rep are IDENTICAL to the unpruned agg:
+    #    every member of a touched bucket matches new_bands on that very
+    #    (band_idx, band_hash), so no member row is lost.
+    new_bands = (
+        new_reps.select(
+            F.posexplode("band_hashes").alias("band_idx", "band_hash")
+        ).distinct()
+    )
+    old_touched_ids = (
+        old_reps.select(
+            "conv_id", F.posexplode("band_hashes").alias("band_idx", "band_hash")
+        )
+        .join(new_bands, ["band_idx", "band_hash"], "left_semi")
+        .select("conv_id")
+        .distinct()
+    )
     combined = (
-        old_reps.withColumn("_is_new", F.lit(False))
+        old_reps.join(old_touched_ids, "conv_id", "left_semi")
+        .withColumn("_is_new", F.lit(False))
         .unionByName(new_reps.withColumn("_is_new", F.lit(True)))
         .persist()
     )
     ex_all = combined.select(
         "conv_id", "_is_new", F.posexplode("band_hashes").alias("band_idx", "band_hash")
-    )
+    ).join(new_bands, ["band_idx", "band_hash"], "left_semi")
     buckets = ex_all.groupBy("band_idx", "band_hash").agg(
         F.count("*").alias("bucket_n"),
         F.min("conv_id").alias("bucket_rep"),

@@ -122,9 +122,16 @@ def run_dedup(
     def build_candidates() -> DataFrame:
         pairs, band_stats = lsh.candidate_pairs(reps, cfg, id_col="nid")
         if run is not None:
-            hot = band_stats.filter(F.col("star_mode")).count()
-            total = band_stats.count()
-            run.log_metric("candidates", hot_buckets=hot, active_buckets=total)
+            # one job: both counters from a single agg over band_stats
+            row = band_stats.agg(
+                F.sum(F.col("star_mode").cast("long")).alias("hot"),
+                F.count("*").alias("total"),
+            ).collect()[0]
+            run.log_metric(
+                "candidates",
+                hot_buckets=int(row["hot"] or 0),
+                active_buckets=int(row["total"]),
+            )
         return pairs
 
     cand = materialize("candidates", build_candidates)

@@ -143,3 +143,86 @@ def test_leg_order_covers_primary_pair_first():
     assert leg_order.count(("xl", 1)) >= 3
     assert leg_order.count(("xl", 4)) >= 3
     assert min(primaries) < xl4_first  # budget exhaustion can't starve them
+
+
+def _leg_entry(cores, wall, kernel):
+    return {
+        "cores": cores, "n_turns": 1_000_000, "kernel_n_turns": 500_000,
+        "wall_s": wall, "kernel_s": kernel, "n_clusters": 42,
+        "errors": ["none"], "all_runs_s": [wall], "kernel_all_runs_s": [kernel],
+        "turns_per_sec": round(1_000_000 / wall, 1),
+        "kernel_turns_per_sec": round(500_000 / kernel, 1),
+        "phase_quality": 1.0,
+    }
+
+
+def test_refresh_md_round_trips_session_json(tmp_path, monkeypatch):
+    """refresh_md rebuilds BENCH.md from the saved session-result JSON:
+    the scaling tables, pair rows, and headline queries all survive the
+    dict->JSON->dict round trip without re-running any leg."""
+    import json
+
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    (tmp_path / "data").mkdir()
+    result = {
+        "metric": "headline_queries_total", "value": 10.0, "unit": "sec",
+        "queries": {"t_assemble": 1.5}, "query_all_runs": {"t_assemble": [1.5, 2.0]},
+        "headline_errors": ["none"],
+        "pipeline": {"local[1]": _leg_entry(1, 400.0, 50.0),
+                     "local[4]": _leg_entry(4, 115.0, 13.5)},
+        "scaling_pairs": {
+            "linear_1_4": {"efficiency": 0.87, "kernel_efficiency": 0.926,
+                           "paired_cycles": [0.87], "paired_best": 0.87},
+            "xl4_linear_2_8": {"efficiency": 0.7, "kernel_efficiency": 0.9},
+        },
+        "pipeline_xl4": {"local[2]": _leg_entry(2, 300.0, 26.0),
+                         "local[8]": _leg_entry(8, 107.0, 7.2)},
+        "pipeline_std": {"local[1]": _leg_entry(1, 180.0, 43.0)},
+        "scaling_pairs_std": {},
+    }
+    sess = tmp_path / "session.json"
+    sess.write_text(json.dumps(result))
+    bench.refresh_md(str(sess))
+    md = (tmp_path / "BENCH.md").read_text()
+    assert "| local[1] | 400.0 |" in md and "| local[4] | 115.0 |" in md
+    assert "| linear 1 4 | 0.87 |" in md          # xl pair, prefix stripped
+    assert "| linear 2 8 | 0.7 |" in md           # xl4 pair, xl4_ stripped
+    assert "| t_assemble | 1.5 | [1.5, 2.0] |" in md
+    # std corpus table rendered under the secondary section
+    assert "## Secondary" in md and "| local[1] | 180.0 |" in md
+
+
+def test_bench_md_folds_incremental_section(tmp_path, monkeypatch):
+    """When data/incremental_bench.json exists, BENCH.md carries the
+    delta-mode vs full-recompute section with per-cycle speedups."""
+    import json
+
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    (tmp_path / "data").mkdir()
+    ib = {
+        "corpus": "transcripts_bench.parquet", "cores": 8,
+        "n_conversations": 120_000, "n_turns": 1_122_415,
+        "delta_pct": 1.0, "n_delta_conversations": 1200,
+        "n_delta_turns": 11_000, "prior_state_build_s": 40.0,
+        "cycles": [{"order": "full->incr", "full_s": 30.0, "incr_s": 6.0,
+                    "full_probe_s": 2.0, "incr_probe_s": 2.5,
+                    "speedup": 5.0, "speedup_normalized": 6.25,
+                    "n_clusters": 100}],
+        "full_batch_s_min": 30.0, "incremental_s_min": 6.0,
+        "speedup_minima": 5.0, "speedup_paired": [5.0],
+        "speedup_normalized": [6.25], "speedup_normalized_median": 6.25,
+        "delta_stats": {"n_new": 1200, "n_candidates": 900,
+                        "n_dup_edges": 800, "n_merged_prior_clusters": 3},
+        "residual_full_corpus_terms": "bucket-stats agg",
+    }
+    (tmp_path / "data" / "incremental_bench.json").write_text(json.dumps(ib))
+    result = {
+        "metric": "headline_queries_total", "value": 1.0, "unit": "sec",
+        "queries": {}, "query_all_runs": {}, "headline_errors": ["none"],
+    }
+    bench._write_bench_md(result, {})
+    md = (tmp_path / "BENCH.md").read_text()
+    assert "## Incremental delta-mode vs full-batch recompute" in md
+    assert "| 1 (full->incr) | 30.0 | 6.0 | 2.0 / 2.5 | 5.0x | 6.25x |" in md
+    assert "**5.0x**" in md and "median **6.25x**" in md
+    assert "1200 new conversations signed" in md

@@ -1,0 +1,222 @@
+"""Incremental-vs-full-batch throughput at bench scale.
+
+The operational claim behind ``bibexpy_spark/incremental.py`` (the mode a
+10^12-turn daily-delta pipeline actually runs) is that processing a delta
+costs O(|delta| + touched state), not O(|corpus|): the delta is assembled
+and signed alone, quiet LSH buckets are pruned before the band join, and
+prior clusters enter connected components contracted to super-nodes.  This
+tool MEASURES that claim instead of asserting it: the same delta is folded
+in twice — once via ``run_incremental_dedup`` against persisted prior state
+(the operational path), once by re-running the full batch pipeline over
+old ∪ new (what a pipeline without an incremental mode must do) — and both
+walls are reported.
+
+Protocol: legs run back-to-back inside each cycle (they share a host
+throttle phase, so the RATIO is phase-robust even when absolute walls are
+not), cycle order alternates to cancel drift, minima over cycles estimate
+capability.  Because this VM's throttle phases can FLIP mid-cycle (measured:
+identical full-batch legs spanning 54s..435s within one session), each leg
+additionally carries a PROBE — a constant, shuffle-free signing pass over a
+cached fixed slice, the same kernel-reference idea bench.py uses — run
+immediately before the leg.  probe_s is a per-leg host-speed sample, so
+``speedup_normalized`` = (full_s / full_probe) / (incr_s / incr_probe)
+cancels phase flips that raw paired ratios cannot.  Raw walls, probe walls,
+raw ratios and normalized ratios are ALL reported; minima over cycles
+estimate capability.  Both legs force their cluster output the same way and
+the cluster counts are asserted equal (batch equivalence below the hot-band
+cap is the pytest-gated contract; this is a cheap end-to-end sanity).
+
+Honest residuals (also in the JSON): the incremental path still SCANS the
+prior corpus — the exact pass's sha agg (narrow, map-side combined) and
+the band explode that feeds the touched-bucket semi-join (narrow
+conv_id+bands projection; the bucket groupBy itself shuffles only touched
+rows) — O(|corpus|) scan terms with tiny constants; at 10^12 rows both
+become maintained state tables.  The measured speedup therefore
+UNDERSTATES the production gap.
+
+Run:  python tools/incremental_bench.py  [delta_pct] [cycles] [cores]
+Writes data/incremental_bench.json, which bench.py folds into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SIG_COLS = ["conv_id", "content_sha", "shingles", "band_hashes"]
+
+
+def main() -> None:
+    delta_pct = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    from pyspark.sql import functions as F
+
+    from bibexpy_spark import corpus, pipeline
+    from bibexpy_spark.incremental import run_incremental_dedup
+    from bibexpy_spark.session import build_spark
+
+    path = corpus.write_parquet(
+        os.path.join(REPO, "data", "transcripts_bench.parquet"), 120_000, seed=43
+    )
+    scratch = os.path.join(REPO, "data", "scratch_incr_bench")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
+
+    from bibexpy_spark.config import CANONICAL
+    from bibexpy_spark.functions import udfs
+    from bibexpy_spark.operators import assembly
+
+    spark = build_spark(
+        app_name="incremental_bench", cores=cores, shuffle_partitions=cores
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    turns = spark.read.parquet(path)
+
+    # deterministic split on conv_id: delta conversations are NEW (never
+    # grown), matching the simple daily-ingest shape; grown-delta cost is
+    # bounded by the same terms plus the touched clusters' re-entry
+    bucket = F.abs(F.xxhash64("conv_id")) % 1000
+    is_delta = bucket < int(delta_pct * 10)
+    prior_turns = turns.filter(~is_delta)
+    delta_turns = turns.filter(is_delta)
+    n_conv = turns.select("conv_id").distinct().count()
+    n_delta = delta_turns.select("conv_id").distinct().count()
+    n_turns = turns.count()
+    n_delta_turns = delta_turns.count()
+
+    # ---- prior state (untimed setup: in production this already exists) --
+    t0 = time.time()
+    prior = pipeline.run_dedup(
+        spark, prior_turns, with_containment=False, with_simhash_pass=False
+    )
+    signed_p = os.path.join(scratch, "prior_signed.parquet")
+    clusters_p = os.path.join(scratch, "prior_clusters.parquet")
+    prior["signed"].select(*SIG_COLS).write.parquet(signed_p)
+    prior["clusters"].write.parquet(clusters_p)
+    state_build_s = round(time.time() - t0, 2)
+
+    # host-speed probe: constant shuffle-free signing pass over a cached
+    # fixed slice (~3% of conversations) — bench.py's kernel-reference idea
+    # at probe size.  Run immediately before each timed leg; probe_s samples
+    # the host phase so normalized ratios survive mid-cycle phase flips.
+    probe_docs = assembly.assemble_docs(
+        turns.filter(F.abs(F.xxhash64("conv_id", F.lit("probe"))) % 100 < 3)
+    ).persist()
+    probe_docs.count()  # cache fill (untimed)
+
+    def probe() -> float:
+        t0 = time.time()
+        udfs.with_signature_columns(probe_docs, CANONICAL).select(
+            F.sum(F.size("band_hashes"))
+        ).collect()
+        return round(time.time() - t0, 2)
+
+    probe()  # warm the UDF path once, untimed
+
+    def leg_full() -> tuple[float, int]:
+        t0 = time.time()
+        res = pipeline.run_dedup(
+            spark, turns, with_containment=False, with_simhash_pass=False
+        )
+        n = res["clusters"].select("cluster_id").distinct().count()
+        return time.time() - t0, n
+
+    def leg_incr() -> tuple[float, int]:
+        t0 = time.time()
+        res = run_incremental_dedup(
+            spark,
+            delta_turns,
+            spark.read.parquet(signed_p),
+            spark.read.parquet(clusters_p),
+        )
+        n = res["clusters"].select("cluster_id").distinct().count()
+        res["cleanup"]()
+        return time.time() - t0, n
+
+    runs = []
+    stats_row = None
+    for i in range(cycles):
+        order = ("full", "incr") if i % 2 == 0 else ("incr", "full")
+        walls: dict[str, float] = {}
+        probes: dict[str, float] = {}
+        counts: dict[str, int] = {}
+        for leg in order:
+            probes[leg] = probe()
+            walls[leg], counts[leg] = (leg_full if leg == "full" else leg_incr)()
+        assert counts["full"] == counts["incr"], (
+            f"cluster-count mismatch: full={counts['full']} incr={counts['incr']}"
+        )
+        runs.append(
+            {
+                "order": "->".join(order),
+                "full_s": round(walls["full"], 2),
+                "incr_s": round(walls["incr"], 2),
+                "full_probe_s": probes["full"],
+                "incr_probe_s": probes["incr"],
+                "speedup": round(walls["full"] / walls["incr"], 2),
+                "speedup_normalized": round(
+                    (walls["full"] / probes["full"])
+                    / (walls["incr"] / probes["incr"]),
+                    2,
+                ),
+                "n_clusters": counts["full"],
+            }
+        )
+        print(json.dumps(runs[-1]), flush=True)
+
+    # one untimed stats fetch for the delta-volume evidence
+    res = run_incremental_dedup(
+        spark,
+        delta_turns,
+        spark.read.parquet(signed_p),
+        spark.read.parquet(clusters_p),
+    )
+    stats_row = res["stats"].collect()[0].asDict()
+    res["cleanup"]()
+
+    full_min = min(r["full_s"] for r in runs)
+    incr_min = min(r["incr_s"] for r in runs)
+    out = {
+        "corpus": os.path.basename(path),
+        "cores": cores,
+        "n_conversations": n_conv,
+        "n_turns": n_turns,
+        "delta_pct": delta_pct,
+        "n_delta_conversations": n_delta,
+        "n_delta_turns": n_delta_turns,
+        "prior_state_build_s": state_build_s,
+        "cycles": runs,
+        "full_batch_s_min": full_min,
+        "incremental_s_min": incr_min,
+        "speedup_minima": round(full_min / incr_min, 2),
+        "speedup_paired": [r["speedup"] for r in runs],
+        "speedup_paired_best": max(r["speedup"] for r in runs),
+        "speedup_normalized": [r["speedup_normalized"] for r in runs],
+        "speedup_normalized_median": round(
+            sorted(r["speedup_normalized"] for r in runs)[len(runs) // 2], 2
+        ),
+        "delta_stats": {k: int(v) for k, v in stats_row.items()},
+        "residual_full_corpus_terms": (
+            "prior-sha scan-agg + narrow band-explode scan feeding the "
+            "touched-bucket semi-join (no wide shuffle; maintained state "
+            "tables at 10^12)"
+        ),
+    }
+    probe_docs.unpersist()
+    spark.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
+    with open(os.path.join(REPO, "data", "incremental_bench.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
