@@ -125,6 +125,12 @@ _EMPTY_SHINGLE = np.uint64(hash_str_u64(""))
 
 
 def shingle_sets(norm_texts: pd.Series, cfg: DedupConfig) -> list[np.ndarray]:
+    """Per-row sorted-unique uint64 k-shingle hashes (word k-grams) at the
+    pipeline's configured ``cfg.shingle_k`` — see :func:`word_kgram_sets`."""
+    return word_kgram_sets(norm_texts, cfg.shingle_k)
+
+
+def word_kgram_sets(norm_texts: pd.Series, k: int) -> list[np.ndarray]:
     """Per-row sorted-unique uint64 k-shingle hashes (word k-grams).
 
     A shingle hash combines k consecutive token hashes with a multiply-xor
@@ -134,7 +140,6 @@ def shingle_sets(norm_texts: pd.Series, cfg: DedupConfig) -> list[np.ndarray]:
     """
     flat, offsets = _flat_token_hashes(norm_texts)
     n = len(offsets) - 1
-    k = cfg.shingle_k
     total = len(flat)
 
     # combined hash for every flat window start (may cross row boundaries;

@@ -7,7 +7,10 @@ only the ~(1-t) fraction of rarest grams per doc enters the inverted-index
 equi-join — exactly lossless by the prefix-filter theorem, and df-ascending
 ordering keeps ubiquitous "stopword grams" (the hot-band analogue of the
 reference's empty-key block pile-up, smart_merger.py:189-197) structurally
-out of prefixes.  The legacy 'rare_index' plan (df-cap <= ``df_cap`` +
+out of prefixes.  Candidates are further pruned losslessly by the LENGTH
+filter (size-ratio at the index join, before any pair shuffle) and the
+ppjoin POSITIONAL filter (per-match overlap upper bound from the matched
+gram's ranks in both sorted arrays; see inline derivation).  The legacy 'rare_index' plan (df-cap <= ``df_cap`` +
 all-hot rarest-gram fallback; lossless for thresholds above n_hot/min_doc)
 remains selectable; both are metrics-instrumented (prefix_index_stats /
 gram_index_stats — truncation or boilerplate pile-up is never silent).
@@ -29,8 +32,11 @@ one fewer exchange always — plan-tested in test_plan_properties.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 
@@ -49,6 +55,45 @@ def with_grams(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
         ).otherwise(F.array(norm))
     )
     return df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+
+
+def with_gram_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """id, gh (sorted distinct int64 gram hashes) — the hot-path form.
+
+    Semantically a gram is the k-token window from :func:`with_grams`; the
+    hash path only needs gram IDENTITY (Jaccard over hashes equals Jaccard
+    over gram strings up to the usual ~n²/2⁶⁵ 64-bit collision mass, the
+    same class the previous xxhash64-on-gram-string plan accepted).
+
+    Computed in the vectorized Arrow kernel (``kernels.word_kgram_sets``:
+    batch tokenize, vocabulary-deduplicated token hashing, flat-window
+    multiply-xor fold) rather than SQL higher-order functions — MEASURED
+    rationale: a ``transform``/``aggregate`` projection is CodegenFallback,
+    so the whole gram stage runs on the interpreted expression path; at
+    sf0.1 its first execution in a fresh JVM took 130-220s (JIT-cold
+    interpreter, 32 threads contending for the compile queue) vs ~5-11s
+    warm, while the numpy kernel needs no JVM warmup and is the same code
+    path the pipeline's signature stage already scales on (kernel scaling
+    efficiency 0.86 in BENCH.md).  Short docs (< k tokens) keep one
+    whole-doc gram; empty docs hash the empty string — both matching
+    :func:`with_grams` equality classes.
+    """
+    from bibexpy_spark.functions import kernels
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def gram_udf(texts: pd.Series) -> pd.Series:
+        norm = (
+            texts.fillna("")
+            .str.lower()
+            .str.replace("[^a-z0-9]+", " ", regex=True)
+            .str.strip()
+        )
+        sets = kernels.word_kgram_sets(norm, k)
+        return pd.Series([np.sort(s.view(np.int64)) for s in sets])
+
+    return df.select(
+        F.col(id_col).alias("id"), gram_udf(F.col(text_col)).alias("gh")
+    )
 
 
 def gram_jaccard_pairs(
@@ -87,14 +132,9 @@ def gram_jaccard_pairs(
                     as the conservative choice for corpora where even
                     prefix grams are ubiquitous).
     """
-    g = with_grams(df, id_col, text_col, k)
-    # hash gram strings to longs once; all set arithmetic stays on longs
-    hashed = g.select(
-        "id",
-        F.array_sort(
-            F.array_distinct(F.transform("grams", lambda s: F.xxhash64(s)))
-        ).alias("gh"),
-    ).persist()
+    # gram identities as longs from the start (with_gram_hashes: per-token
+    # xxhash64 + chained fold — no gram-string allocation on the hot path)
+    hashed = with_gram_hashes(df, id_col, text_col, k).persist()
 
     if candidates == "prefix":
         ex = hashed.select(
@@ -108,14 +148,40 @@ def gram_jaccard_pairs(
         prefix = (
             with_df.withColumn("_rk", rk)
             .filter(F.col("_rk") <= F.col("n_g") - ceil_t + 1)
-            .select("id", "h")
+            .select("id", "n_g", "_rk", "h")
         )
-        cand = (
+        nx, ny = F.col("x.n_g"), F.col("y.n_g")
+        i, j = F.col("x._rk"), F.col("y._rk")
+        matched = (
             prefix.alias("x")
             .join(prefix.alias("y"), "h")
             .filter(F.col("x.id") < F.col("y.id"))
-            .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
-            .dropDuplicates(["a_id", "b_id"])
+            # LENGTH filter (SSJoin): J >= t forces min(n) * t_den >=
+            # max(n) * t_num — prunes out-of-ratio pairs before they ever
+            # reach the pair-dedup shuffle or the verify fetch
+            .filter(F.least(nx, ny) * t_den >= F.greatest(nx, ny) * t_num)
+            .select(
+                F.col("x.id").alias("a_id"),
+                F.col("y.id").alias("b_id"),
+                # POSITIONAL filter bound (ppjoin): both gh arrays are
+                # sorted in the SAME global (df, h) order (_rk is the rank
+                # under that order; distinct grams have distinct xxhash64
+                # by the plan's standing no-collision assumption), so for a
+                # matched gram at ranks (i, j) the common elements before
+                # it number <= min(i-1, j-1) and after it <= min(nx-i,
+                # ny-j): overlap <= min(i-1,j-1) + 1 + min(nx-i, ny-j).
+                # A qualifying pair satisfies this bound >= alpha for EVERY
+                # matched gram, so filtering on the MIN bound is lossless.
+                (F.least(i - 1, j - 1) + 1 + F.least(nx - i, ny - j)).alias("_ub"),
+                (nx + ny).alias("_sz"),
+            )
+        )
+        cand = (
+            matched.groupBy("a_id", "b_id")
+            .agg(F.min("_ub").alias("_ub"), F.min("_sz").alias("_sz"))
+            # J >= t  <=>  overlap * (t_den + t_num) >= t_num * (nx + ny)
+            .filter(F.col("_ub") * (t_den + t_num) >= F.col("_sz") * t_num)
+            .select("a_id", "b_id")
         )
         return verify_gram_pairs(cand, hashed, t_num, t_den)
     if candidates != "rare_index":
@@ -211,11 +277,7 @@ def prefix_index_stats(
     — a high max_prefix_df means boilerplate grams are reaching prefixes
     (docs whose rarest grams are still ubiquitous) and candidate volume may
     grow toward the df² worst case."""
-    g = with_grams(df, id_col, text_col, k)
-    hashed = g.select(
-        "id",
-        F.array_distinct(F.transform("grams", lambda s: F.xxhash64(s))).alias("gh"),
-    )
+    hashed = with_gram_hashes(df, id_col, text_col, k)
     ex = hashed.select("id", F.size("gh").alias("n_g"), F.explode("gh").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("df"))
     with_df = ex.join(freq, "h")
@@ -240,10 +302,7 @@ def gram_index_stats(
     """Dropped-gram metrics for the inverted index (never-silent contract):
     one row with n_grams, n_hot_grams (df > df_cap), n_allhot_rows (rows kept
     only via the rarest-gram fallback)."""
-    g = with_grams(df, id_col, text_col, k)
-    hashed = g.select(
-        "id", F.array_distinct(F.transform("grams", lambda s: F.xxhash64(s))).alias("gh")
-    )
+    hashed = with_gram_hashes(df, id_col, text_col, k)
     ex = hashed.select("id", F.explode("gh").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("df"))
     # single-job shape (VERDICT r3 #7): both granularities (per-gram df and
