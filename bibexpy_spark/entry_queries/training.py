@@ -19,7 +19,7 @@ from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 from bibexpy_spark.config import CANONICAL, DedupConfig
-from bibexpy_spark.functions import udfs
+from bibexpy_spark.functions import udfs, vector_ops
 
 K_DOC = 3  # word-3-grams for document near-dup (docs are shorter than convs)
 
@@ -216,7 +216,8 @@ def d_winnow_overlap_pairs(spark, sf_dir, k_chars: int = 7, window: int = 4,
 def e_knn_bruteforce(spark, sf_dir, k: int = 5, n_queries: int = 10):
     """Brute-force cosine top-k: query vectors (vec_id < n_queries) vs all.
 
-    Dot/norm via JVM-native array ops (zip_with + aggregate, double math);
+    Cosine via the Arrow-batched einsum kernel (vector_ops.cosine; the
+    HOF zip_with+aggregate backend stays selectable for A/B, both float64);
     ranking on ROUND(cos, 4) with vec_id tie-break so the result is
     engine-reproducible despite float summation order."""
     e = _t(spark, sf_dir, "embeddings")
@@ -225,24 +226,10 @@ def e_knn_bruteforce(spark, sf_dir, k: int = 5, n_queries: int = 10):
     )
     c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     j = q.crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
     j = j.withColumn(
         "cos",
-        F.round(
-            dot(F.col("q_emb"), F.col("c_emb"))
-            / (
-                F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
-                * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
-            ),
-            4,
-        ),
+        F.round(vector_ops.cosine(F.col("q_emb"), F.col("c_emb")), 4),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -321,24 +308,10 @@ def e_ivf_ann(spark, sf_dir, k: int = 5, n_queries: int = 10,
         )
     )
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     j = queries.join(cands, "cell").filter(F.col("query_id") != F.col("cand_id"))
     j = j.withColumn(
         "cos",
-        F.round(
-            dot(F.col("q_emb"), F.col("c_emb"))
-            / (
-                F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
-                * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
-            ),
-            4,
-        ),
+        F.round(vector_ops.cosine(F.col("q_emb"), F.col("c_emb")), 4),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -388,13 +361,6 @@ def e_lsh_ann(spark, sf_dir, k: int = 5, n_queries: int = 10,
         "tbl", "bucket",
     )
 
-    def dot(a, bb):
-        return F.aggregate(
-            F.zip_with(a, bb, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     j = (
         q.join(c, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -402,14 +368,7 @@ def e_lsh_ann(spark, sf_dir, k: int = 5, n_queries: int = 10,
     )
     j = j.withColumn(
         "cos",
-        F.round(
-            dot(F.col("q_emb"), F.col("c_emb"))
-            / (
-                F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
-                * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
-            ),
-            4,
-        ),
+        F.round(vector_ops.cosine(F.col("q_emb"), F.col("c_emb")), 4),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -478,23 +437,9 @@ def e_cosine_lsh(spark, sf_dir, threshold: float = 0.4,
     """
     j, _ = _cosine_lsh_candidates(spark, sf_dir, n_planes, n_tables)
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     j = j.withColumn(
         "cos",
-        F.round(
-            dot(F.col("a_emb"), F.col("b_emb"))
-            / (
-                F.sqrt(dot(F.col("a_emb"), F.col("a_emb")))
-                * F.sqrt(dot(F.col("b_emb"), F.col("b_emb")))
-            ),
-            4,
-        ),
+        F.round(vector_ops.cosine(F.col("a_emb"), F.col("b_emb")), 4),
     )
     return j.filter(F.col("cos") >= threshold).select("a_id", "b_id", "cos")
 
@@ -556,24 +501,10 @@ def e_cosine_dup_pairs(spark, sf_dir, threshold: float = 0.4):
     a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     j = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
     j = j.withColumn(
         "cos",
-        F.round(
-            dot(F.col("a_emb"), F.col("b_emb"))
-            / (
-                F.sqrt(dot(F.col("a_emb"), F.col("a_emb")))
-                * F.sqrt(dot(F.col("b_emb"), F.col("b_emb")))
-            ),
-            4,
-        ),
+        F.round(vector_ops.cosine(F.col("a_emb"), F.col("b_emb")), 4),
     )
     return j.filter(F.col("cos") >= threshold).select("a_id", "b_id", "cos")
 

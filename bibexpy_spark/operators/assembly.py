@@ -37,18 +37,14 @@ def assemble_conversations(turns: DataFrame) -> DataFrame:
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
         )
-        .withColumn("doc", F.array_join(F.transform("turns", lambda t: t["text"]), TURN_SEP))
-        .withColumn("roles", F.array_join(F.transform("turns", lambda t: t["role"]), " "))
-        .withColumn(
-            "tools",
-            F.array_join(
-                F.filter(
-                    F.transform("turns", lambda t: t["tool"]),
-                    lambda x: (x.isNotNull()) & (x != ""),
-                ),
-                " ",
-            ),
-        )
+        # field extraction over the struct array (GetArrayStructFields) is
+        # codegen-native; transform()/filter() lambdas are HigherOrderFunctions
+        # (CodegenFallback -> interpreted path, the gram-stage cliff class).
+        # concat_ws skips null elements and array_remove drops empty strings,
+        # reproducing the old filter(x -> x is not null and x != '') exactly.
+        .withColumn("doc", F.array_join(F.col("turns.text"), TURN_SEP))
+        .withColumn("roles", F.array_join(F.col("turns.role"), " "))
+        .withColumn("tools", F.concat_ws(" ", F.array_remove(F.col("turns.tool"), "")))
     )
 
 
@@ -78,21 +74,13 @@ def assemble_docs(turns: DataFrame, include_roles_tools: bool = False) -> DataFr
     agg = turns.groupBy("conv_id").agg(
         F.sort_array(F.collect_list(F.struct(*fields))).alias("_t")
     )
-    out = agg.withColumn(
-        "doc", F.array_join(F.transform("_t", lambda t: t["text"]), TURN_SEP)
-    )
+    # codegen-native field extraction, same rationale as assemble_conversations
+    out = agg.withColumn("doc", F.array_join(F.col("_t.text"), TURN_SEP))
     if include_roles_tools:
         out = out.withColumn(
-            "roles", F.array_join(F.transform("_t", lambda t: t["role"]), " ")
+            "roles", F.array_join(F.col("_t.role"), " ")
         ).withColumn(
-            "tools",
-            F.array_join(
-                F.filter(
-                    F.transform("_t", lambda t: t["tool"]),
-                    lambda x: (x.isNotNull()) & (x != ""),
-                ),
-                " ",
-            ),
+            "tools", F.concat_ws(" ", F.array_remove(F.col("_t.tool"), ""))
         )
     return out.drop("_t")
 

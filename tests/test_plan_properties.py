@@ -210,3 +210,23 @@ def test_general_containment_no_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assembly_projection_is_codegen_native(spark):
+    """The assemble stage's doc/roles/tools projection must not use
+    HigherOrderFunctions (transform/filter lambdas are CodegenFallback and
+    run on the interpreted expression path — the gram-stage first-run cliff
+    class, PLANS.md r4).  Struct-field extraction + array_join/concat_ws/
+    array_remove keep the whole projection inside WholeStageCodegen."""
+    from bibexpy_spark import corpus
+    from bibexpy_spark.operators import assembly
+
+    path = corpus.corpus_path_for_sf("/root/testdata/sf0.001")
+    turns = spark.read.parquet(path)
+    for df in (
+        assembly.assemble_conversations(turns),
+        assembly.assemble_docs(turns, include_roles_tools=True),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "transform(" not in plan, plan
+        assert "lambdafunction" not in plan, plan

@@ -140,3 +140,34 @@ def test_cosine_lsh_high_threshold_knobs_are_selective(spark):
     assert mid["candidate_rate"] < loose["candidate_rate"] / 4
     assert tight["candidate_rate"] < mid["candidate_rate"] / 3
     assert tight["candidate_rate"] < 0.05
+
+
+def test_cosine_backends_agree(spark):
+    """The Arrow einsum kernel and the JVM HOF expression must produce the
+    SAME cosine after the callers' ROUND(.,4) — including NULL (not NaN) for
+    null endpoints and zero-norm vectors, so `cos >= t` filters drop them
+    under both backends."""
+    from bibexpy_spark.functions import vector_ops
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(60)]
+    rows += [(60, [0.0] * 16), (61, None)]  # zero-norm + null endpoint
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    a = df.select(F.col("id").alias("a_id"), F.col("emb").alias("a"))
+    b = df.select(F.col("id").alias("b_id"), F.col("emb").alias("b"))
+    j = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+
+    out = j.select(
+        "a_id",
+        "b_id",
+        F.round(vector_ops.cosine(F.col("a"), F.col("b"), "kernel"), 4).alias("ck"),
+        F.round(vector_ops.cosine(F.col("a"), F.col("b"), "hof"), 4).alias("ch"),
+    ).toPandas()
+    assert len(out) == 62 * 61 // 2
+    # null where either endpoint is degenerate, equal everywhere else
+    degen = (out.a_id >= 60) | (out.b_id >= 60)
+    assert out.loc[degen, "ck"].isna().all()
+    assert out.loc[degen, "ch"].isna().all()
+    good = out.loc[~degen]
+    assert not good.ck.isna().any()
+    assert (good.ck == good.ch).all()
