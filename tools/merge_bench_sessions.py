@@ -1,0 +1,167 @@
+"""Merge bench session-result JSONs (the dict bench.py main() prints) into
+one cross-session result, then refresh BENCH.md from it.
+
+Why: this host shows phase-like throttling where identical legs vary 2-10x
+ACROSS sessions, not just across runs — one session can spend its entire
+budget inside a throttled phase (its kernel host-probe never approaches the
+cross-session best).  The minima-estimates-capability protocol therefore
+merges run lists across sessions: per leg, walls and kernel walls concatenate
+and the minima recompute; per pair, within-session paired cycles concatenate
+(a cycle never mixes sessions, so it still shares one throttle phase).
+
+Honesty note: sessions may span code versions.  Performance changes land
+monotonic improvements (measured in PLANS.md before landing), so a minimum
+taken from an OLDER session's cleaner phase understates, never overstates,
+the current code's capability.
+
+Usage:
+  python tools/merge_bench_sessions.py merged.json prior.json new.json [...]
+  python bench.py --refresh-md merged.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _merge_leg(a: dict, b: dict) -> dict:
+    assert a["cores"] == b["cores"]
+    assert a["n_turns"] == b["n_turns"], "legs ran different corpora"
+    out = dict(a)
+    out["all_runs_s"] = a["all_runs_s"] + b["all_runs_s"]
+    out["kernel_all_runs_s"] = a["kernel_all_runs_s"] + b["kernel_all_runs_s"]
+    out["wall_s"] = min(out["all_runs_s"])
+    out["kernel_s"] = min(out["kernel_all_runs_s"])
+    out["turns_per_sec"] = round(a["n_turns"] / out["wall_s"], 1)
+    out["kernel_turns_per_sec"] = round(
+        a["kernel_n_turns"] / out["kernel_s"], 1
+    )
+    errs = list(dict.fromkeys(a["errors"] + b["errors"]))
+    out["errors"] = [e for e in errs if e != "none"] or ["none"]
+    if a.get("n_clusters") != b.get("n_clusters"):
+        raise SystemExit(
+            f"cluster-count mismatch at local[{a['cores']}]: "
+            f"{a.get('n_clusters')} vs {b.get('n_clusters')}"
+        )
+    return out
+
+
+def _merge_pairs(a: dict, b: dict) -> dict:
+    out = dict(a)
+    for label, pb in b.items():
+        if label not in out:
+            out[label] = pb
+            continue
+        pa = out[label]
+        cycles = pa.get("paired_cycles", []) + pb.get("paired_cycles", [])
+        out[label] = dict(pa)
+        if cycles:
+            out[label]["paired_cycles"] = cycles
+            out[label]["paired_best"] = max(cycles)
+    return out
+
+
+PIPE_KEYS = ["pipeline", "pipeline_xl4", "pipeline_std"]
+
+
+def merge(sessions: list[dict]) -> dict:
+    out = dict(sessions[0])
+    for nxt in sessions[1:]:
+        # scaling legs
+        for key in PIPE_KEYS:
+            legs_a, legs_b = out.get(key) or {}, nxt.get(key) or {}
+            merged = dict(legs_a)
+            for lvl, leg in legs_b.items():
+                merged[lvl] = (
+                    _merge_leg(legs_a[lvl], leg) if lvl in legs_a else leg
+                )
+            if merged:
+                out[key] = merged
+        out["scaling_pairs"] = _merge_pairs(
+            out.get("scaling_pairs", {}), nxt.get("scaling_pairs", {})
+        )
+        out["scaling_pairs_std"] = _merge_pairs(
+            out.get("scaling_pairs_std", {}), nxt.get("scaling_pairs_std", {})
+        )
+        # headline queries
+        runs = dict(out.get("query_all_runs", {}))
+        for q, ts in nxt.get("query_all_runs", {}).items():
+            runs[q] = runs.get(q, []) + ts
+        out["query_all_runs"] = runs
+        out["queries"] = {q: min(ts) for q, ts in runs.items() if ts}
+        out["value"] = round(sum(out["queries"].values()), 2)
+        out["headline_errors"] = out.get("headline_errors", []) + nxt.get(
+            "headline_errors", []
+        )
+
+    # recompute pair efficiencies from the merged minima
+    def _eff(pairs: dict, legs: dict, prefix: str = "") -> None:
+        for label, p in pairs.items():
+            kind_lo_hi = label[len(prefix):] if label.startswith(prefix) else label
+            parts = kind_lo_hi.split("_")
+            if len(parts) != 3:
+                continue
+            lo, hi = f"local[{parts[1]}]", f"local[{parts[2]}]"
+            if lo not in legs or hi not in legs:
+                continue
+            ratio = int(parts[2]) / int(parts[1])
+            p["efficiency"] = round(
+                legs[lo]["wall_s"] / (ratio * legs[hi]["wall_s"]), 3
+            )
+            p["kernel_efficiency"] = round(
+                legs[lo]["kernel_s"] / (ratio * legs[hi]["kernel_s"]), 3
+            )
+
+    pairs = out.get("scaling_pairs", {})
+    _eff({k: v for k, v in pairs.items() if not k.startswith("xl4_")},
+         out.get("pipeline") or {})
+    _eff({k: v for k, v in pairs.items() if k.startswith("xl4_")},
+         out.get("pipeline_xl4") or {}, prefix="xl4_")
+    _eff(out.get("scaling_pairs_std", {}), out.get("pipeline_std") or {})
+
+    # recompute cross-corpus phase quality (kernel slice is the constant
+    # host probe; best-by-level spans every corpus at that core count)
+    best_by_level: dict[str, float] = {}
+    for key in PIPE_KEYS:
+        for lvl, leg in (out.get(key) or {}).items():
+            k = min(leg["kernel_all_runs_s"])
+            best_by_level[lvl] = min(best_by_level.get(lvl, k), k)
+    for key in PIPE_KEYS:
+        for lvl, leg in (out.get(key) or {}).items():
+            leg["phase_quality"] = round(
+                best_by_level[lvl] / min(leg["kernel_all_runs_s"]), 2
+            )
+
+    lin = pairs.get("linear_1_4", {})
+    out["scaling_efficiency"] = lin.get("efficiency")
+    out["scaling_efficiency_paired_best"] = lin.get("paired_best")
+    out["kernel_scaling_efficiency"] = lin.get("kernel_efficiency")
+    prim = out.get("pipeline") or {}
+    if prim:
+        hi = max(prim, key=lambda s: int(s[len("local["):-1]))
+        out["throughput_turns_per_sec"] = prim[hi]["turns_per_sec"]
+    out["merged_sessions"] = sum(
+        s.get("merged_sessions", 1) for s in sessions
+    )
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) < 4:
+        raise SystemExit(__doc__)
+    dst, srcs = sys.argv[1], sys.argv[2:]
+    sessions = [json.load(open(p)) for p in srcs]
+    merged = merge(sessions)
+    with open(dst, "w") as f:
+        json.dump(merged, f, indent=1)
+    lin = merged.get("scaling_pairs", {}).get("linear_1_4", {})
+    print(
+        f"merged {len(sessions)} sessions -> {dst}: headline {merged['value']}s, "
+        f"linear_1_4 e2e {lin.get('efficiency')} kernel "
+        f"{lin.get('kernel_efficiency')} paired_best {lin.get('paired_best')}"
+    )
+
+
+if __name__ == "__main__":
+    main()
