@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -149,6 +150,15 @@ def main() -> None:
         probes: dict[str, float] = {}
         counts: dict[str, int] = {}
         for leg in order:
+            # Spark's CacheManager matches by ANALYZED PLAN, so a repeated
+            # full-batch leg would silently reuse the previous leg's
+            # persisted signature stage (measured: 39s -> 4.7s "full runs").
+            # Clear all cached relations so every timed leg recomputes, then
+            # re-fill the probe slice (untimed) so probe_s stays a pure
+            # host-phase sample.
+            spark.catalog.clearCache()
+            probe_docs.persist()
+            probe_docs.count()
             probes[leg] = probe()
             walls[leg], counts[leg] = (leg_full if leg == "full" else leg_incr)()
         assert counts["full"] == counts["incr"], (
@@ -201,7 +211,7 @@ def main() -> None:
         "speedup_paired_best": max(r["speedup"] for r in runs),
         "speedup_normalized": [r["speedup_normalized"] for r in runs],
         "speedup_normalized_median": round(
-            sorted(r["speedup_normalized"] for r in runs)[len(runs) // 2], 2
+            statistics.median(r["speedup_normalized"] for r in runs), 2
         ),
         "delta_stats": {k: int(v) for k, v in stats_row.items()},
         "residual_full_corpus_terms": (
