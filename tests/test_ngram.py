@@ -132,3 +132,42 @@ def test_prefix_index_stats(spark):
     assert 0 < st["prefix_fraction"] <= 1.0
     # the boilerplate docs' prefixes contain df=5 grams — reported, not silent
     assert st["max_prefix_df"] == 5
+
+
+def test_gram_hash_kernel_matches_sql_equality_classes(spark):
+    """with_gram_hashes (Arrow kernel, hot path) must induce the SAME gram
+    equality classes as with_grams (the SQL spec): for every doc pair,
+    |gh_a ∩ gh_b| / |gh_a ∪ gh_b| computed on hashes equals the Jaccard on
+    gram STRINGS — on unicode, punctuation runs, digits, empties, and
+    sub-k-token docs."""
+    rows = [
+        ("u1", "Héllo,   Wörld! ÉÉ 123"),
+        ("u2", "hello world ee 123"),          # same classes after norm? (accents drop)
+        ("p1", "a.b.c;d e_f g-h"),
+        ("p2", "a b c d e f g h"),
+        ("e1", ""),
+        ("e2", "!!! ??? ..."),                  # normalizes to empty too
+        ("s1", "one two"),                      # < k tokens: whole-doc gram
+        ("s2", "one two"),
+        ("n1", "42 7 42 7 42"),
+        ("r1", "x " * 50),                      # one repeated token
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k = 3
+    g = {
+        r["id"]: set(r["grams"])
+        for r in ngram.with_grams(df, "doc_id", "text", k).collect()
+    }
+    h = {
+        r["id"]: set(r["gh"])
+        for r in ngram.with_gram_hashes(df, "doc_id", "text", k).collect()
+    }
+    assert set(g) == set(h)
+    ids = sorted(g)
+    for i, a in enumerate(ids):
+        # same cardinalities (hash is injective on these gram sets)
+        assert len(g[a]) == len(h[a]), a
+        for b in ids[i + 1:]:
+            inter_g = len(g[a] & g[b])
+            inter_h = len(h[a] & h[b])
+            assert inter_g == inter_h, (a, b, g[a], g[b])
