@@ -37,8 +37,7 @@ def _merge_leg(a: dict, b: dict) -> dict:
     out["kernel_turns_per_sec"] = round(
         a["kernel_n_turns"] / out["kernel_s"], 1
     )
-    errs = list(dict.fromkeys(a["errors"] + b["errors"]))
-    out["errors"] = [e for e in errs if e != "none"] or ["none"]
+    out["errors"] = sorted(set(a["errors"]) | set(b["errors"]))
     if a.get("n_clusters") != b.get("n_clusters"):
         raise SystemExit(
             f"cluster-count mismatch at local[{a['cores']}]: "
@@ -62,7 +61,12 @@ def _merge_pairs(a: dict, b: dict) -> dict:
     return out
 
 
-PIPE_KEYS = ["pipeline", "pipeline_xl4", "pipeline_std"]
+PIPE_KEYS = ["pipeline", "pipeline_xl", "pipeline_xl4", "pipeline_std"]
+
+# NOTE: "pipeline" means the PRIMARY corpus of the session scheme — the 2x
+# corpus before the r4-late primary promotion, the 4x corpus after
+# (result["primary_corpus"] == "xl4").  Never merge sessions across that
+# boundary: the n_turns assert below refuses it.
 
 
 def merge(sessions: list[dict]) -> dict:
@@ -114,10 +118,14 @@ def merge(sessions: list[dict]) -> dict:
             )
 
     pairs = out.get("scaling_pairs", {})
-    _eff({k: v for k, v in pairs.items() if not k.startswith("xl4_")},
-         out.get("pipeline") or {})
+    _eff({k: v for k, v in pairs.items()
+          if not k.startswith(("xl4_", "xl_"))}, out.get("pipeline") or {})
+    # secondary-corpus pairs: "xl4_" prefix in the pre-promotion scheme
+    # (2x primary), "xl_" prefix after (4x primary)
     _eff({k: v for k, v in pairs.items() if k.startswith("xl4_")},
          out.get("pipeline_xl4") or {}, prefix="xl4_")
+    _eff({k: v for k, v in pairs.items() if k.startswith("xl_")},
+         out.get("pipeline_xl") or {}, prefix="xl_")
     _eff(out.get("scaling_pairs_std", {}), out.get("pipeline_std") or {})
 
     # recompute cross-corpus phase quality (kernel slice is the constant
