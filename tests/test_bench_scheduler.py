@@ -122,9 +122,11 @@ def test_clean_phase_detection_math():
 
 
 def test_leg_order_covers_primary_pair_first():
-    """The fixed order must put both primary legs before the expensive
-    4x-corpus legs, and spread >= 3 repeats of each primary leg across the
-    session (phase diversity for the minima protocol)."""
+    """The fixed order must open with the PRIMARY pair (xl4 1->4 since the
+    r4-late promotion), spread >= 2 repeats of each primary leg plus >= 2
+    of each secondary (xl) leg across the session (phase diversity for the
+    minima protocol), and keep the wide xl4 levels (2/8/32) last so budget
+    exhaustion can never starve a primary cycle."""
     src = open(os.path.join(os.path.dirname(bench.__file__), "bench.py")).read()
     # parse the literal leg_order out of main() — keeps the test honest
     # against reordering regressions without importing main's runtime deps
@@ -138,11 +140,19 @@ def test_leg_order_covers_primary_pair_first():
                 if getattr(t, "id", None) == "leg_order":
                     leg_order = ast.literal_eval(node.value)
     assert leg_order is not None
-    primaries = [i for i, leg in enumerate(leg_order) if leg[0] == "xl"]
-    xl4_first = min(i for i, leg in enumerate(leg_order) if leg[0] == "xl4")
-    assert leg_order.count(("xl", 1)) >= 3
-    assert leg_order.count(("xl", 4)) >= 3
-    assert min(primaries) < xl4_first  # budget exhaustion can't starve them
+    assert leg_order[0] == ("xl4", 1) and leg_order[1] == ("xl4", 4)
+    assert leg_order.count(("xl4", 1)) >= 2
+    assert leg_order.count(("xl4", 4)) >= 2
+    assert leg_order.count(("xl", 1)) >= 2
+    assert leg_order.count(("xl", 4)) >= 2
+    wide_first = min(
+        i for i, leg in enumerate(leg_order)
+        if leg[0] == "xl4" and leg[1] in (2, 8, 32)
+    )
+    last_primary = max(
+        i for i, leg in enumerate(leg_order) if leg == ("xl4", 1) or leg == ("xl4", 4)
+    )
+    assert last_primary < wide_first  # budget exhaustion can't starve them
 
 
 def _leg_entry(cores, wall, kernel):
