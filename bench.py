@@ -656,6 +656,54 @@ def _write_bench_md(result, per_corpus) -> None:
         "what carries the 0.8 target there.",
     ]
 
+    # Weak scaling (Gustafson): constant per-core work — the std corpus at
+    # local[N] vs the 4x corpus (4.004x the turns) at local[4N].  This is
+    # the production question for a 100-TB deployment: data grows WITH the
+    # executor count, so flat wall time (efficiency T_lo/T_hi near 1) is
+    # the target, and it sidesteps the fixed-floor arithmetic that makes
+    # strong scaling hard to read at bench scale (both legs carry one
+    # session's floor).  Corpora are same-generator, same-distribution,
+    # different seeds (43/45).
+    std_sc = per_corpus.get("std", {}).get("scaling") or {}
+    xl4_sc = per_corpus.get("xl4", {}).get("scaling") or {}
+    weak_rows = []
+    for lo, hi in ((1, 4), (2, 8), (8, 32)):
+        a, b = std_sc.get(lo), xl4_sc.get(hi)
+        if not (a and b):
+            continue
+        ratio = b["n_turns"] / a["n_turns"]
+        weak_rows.append(
+            f"| local[{lo}] @ {a['n_turns']} | local[{hi}] @ {b['n_turns']} "
+            f"| {a['wall_s']} | {b['wall_s']} "
+            f"| {round(a['wall_s'] / b['wall_s'] * (ratio / (hi / lo)), 3)} |"
+        )
+    if weak_rows:
+        lines += [
+            "",
+            "## Weak scaling (constant per-core work: std corpus @ N cores vs 4x corpus @ 4N)",
+            "",
+            "The production regime for a 100-TB deployment: data grows WITH",
+            "the executor count.  Efficiency = (T_lo / T_hi) x (turns ratio /",
+            "core ratio); 1.0 = perfectly flat wall as data and cores scale",
+            "together.  Both legs carry one session's fixed floor, so this",
+            "estimator is immune to the floor-amortization arithmetic that",
+            "distorts strong scaling at bench scale.  Corpora are",
+            "same-generator, same-distribution, different seeds (43/45),",
+            "4.004x the turns; walls are cross-session minima.",
+            "",
+            "| lo leg | hi leg | lo wall (s) | hi wall (s) | weak efficiency |",
+            "|---|---|---|---|---|",
+            *weak_rows,
+            "",
+            "Reading: 1->4 and 2->8 hold at or near 1.0 — quadrupling data",
+            "and cores together keeps the wall flat, which is the Gustafson",
+            "form of the north rule's N-vs-4N criterion.  8->32 collapses",
+            "for the same substrate reason as every 32-thread number here:",
+            "the VM exposes 32 threads but ~13-16 effective cores and one",
+            "memory bus (host baseline: the no-Spark kernel gets 1.69x from",
+            "8->32 workers of an ideal 4x).",
+        ]
+
     hb_path = os.path.join(REPO, "data", "host_baseline.json")
     if os.path.exists(hb_path):
         hb = json.load(open(hb_path))
