@@ -8,9 +8,13 @@ equi-join — exactly lossless by the prefix-filter theorem, and df-ascending
 ordering keeps ubiquitous "stopword grams" (the hot-band analogue of the
 reference's empty-key block pile-up, smart_merger.py:189-197) structurally
 out of prefixes.  Candidates are further pruned losslessly by the LENGTH
-filter (size-ratio at the index join, before any pair shuffle) and the
+filter (size-ratio at the index join, before any pair shuffle), the
 ppjoin POSITIONAL filter (per-match overlap upper bound from the matched
-gram's ranks in both sorted arrays; see inline derivation).  The legacy 'rare_index' plan (df-cap <= ``df_cap`` +
+gram's ranks in both sorted arrays; see inline derivation), and the
+SINGLETON prune (df == 1 grams are ranked — they legitimately occupy
+prefix slots — but never join anything, and they are ~60% of prefix rows
+on the sf0.1 transcript corpus: dropping them shrinks both shuffle sides
+of the candidate self-join 2.5x).  The legacy 'rare_index' plan (df-cap <= ``df_cap`` +
 all-hot rarest-gram fallback; lossless for thresholds above n_hot/min_doc)
 remains selectable; both are metrics-instrumented (prefix_index_stats /
 gram_index_stats — truncation or boilerplate pile-up is never silent).
@@ -148,6 +152,17 @@ def gram_jaccard_pairs(
         prefix = (
             with_df.withColumn("_rk", rk)
             .filter(F.col("_rk") <= F.col("n_g") - ceil_t + 1)
+            # SINGLETON prune (lossless): a gram with global df == 1 occurs
+            # in exactly one doc, so in the self-equi-join on h it can only
+            # meet itself, and x.id < y.id discards that row — it can never
+            # contribute a candidate.  Ranks above were computed over ALL
+            # grams (df == 1 grams sort FIRST under (df, h) and legitimately
+            # occupy prefix slots, displacing hotter grams — that is the
+            # prefix-filter working), but once ranked they carry no join
+            # value; dropping them here shrinks both shuffle sides of the
+            # candidate join by the unique-gram mass, which dominates a
+            # mostly-novel corpus.
+            .filter(F.col("df") >= 2)
             .select("id", "n_g", "_rk", "h")
         )
         nx, ny = F.col("x.n_g"), F.col("y.n_g")
