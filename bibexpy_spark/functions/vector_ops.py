@@ -50,19 +50,36 @@ def dot_expr(a: Column, b: Column) -> Column:
 # session exists (pytest collection, tooling).
 @F.pandas_udf(T.DoubleType())
 def _cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    # Ragged batches (length drift between the two sides, or between rows —
+    # a truncated write, schema evolution) must DEGRADE, not crash: the HOF
+    # backend yields NULL for a length-mismatched pair (zip_with pads with
+    # null → null dot), so this path does too, and rows are einsum'd in
+    # per-length groups (one group — the plain np.stack — in healthy data).
     ok = a.notna() & b.notna()
     out = pd.array(np.full(len(a), np.nan), dtype="Float64")
     if ok.any():
-        A = np.stack(a[ok].to_numpy()).astype(np.float64, copy=False)
-        B = np.stack(b[ok].to_numpy()).astype(np.float64, copy=False)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
-            np.einsum("ij,ij->i", B, B)
+        av, bv = a.to_numpy(), b.to_numpy()
+        idx_all = np.flatnonzero(ok.to_numpy())
+        la = np.fromiter(
+            (len(av[i]) for i in idx_all), dtype=np.int64, count=len(idx_all)
         )
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = num / den
-        cos[den == 0.0] = np.nan
-        out[np.flatnonzero(ok.to_numpy())] = cos
+        lb = np.fromiter(
+            (len(bv[i]) for i in idx_all), dtype=np.int64, count=len(idx_all)
+        )
+        eq = la == lb
+        idx_all, la = idx_all[eq], la[eq]
+        for dim in np.unique(la):
+            idx = idx_all[la == dim]
+            A = np.stack(av[idx]).astype(np.float64, copy=False)
+            B = np.stack(bv[idx]).astype(np.float64, copy=False)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = num / den
+            cos[den == 0.0] = np.nan
+            out[idx] = cos
     res = pd.Series(out)
     return res.mask(res.isna(), pd.NA)
 

@@ -68,6 +68,44 @@ from bibexpy_spark.pipeline import surrogate_id
 _SIG_COLS = ["conv_id", "content_sha", "shingles", "band_hashes"]
 
 
+def compose_pair_state(
+    prior: DataFrame,
+    delta: DataFrame,
+    resigned_ids: DataFrame,
+    a: str,
+    b: str,
+) -> DataFrame:
+    """The pair-state composition contract, single-sourced (it is
+    equivalence-critical and consumed by both the spark-submit job and the
+    streaming handler): prior pairs MINUS pairs touching a re-signed
+    conversation (their live successors are re-emitted by the delta ops)
+    UNION the delta pairs == the batch pass over old ∪ new
+    (operators/containment.py + operators/simhash.py delta-op contract).
+
+    ``resigned_ids`` is a single-column ``conv_id`` frame; ``a``/``b`` name
+    the pair endpoint columns (inner_id/outer_id or a_id/b_id)."""
+    return (
+        prior.join(resigned_ids.withColumnRenamed("conv_id", a), a, "left_anti")
+        .join(resigned_ids.withColumnRenamed("conv_id", b), b, "left_anti")
+        .select(*delta.columns)
+        .unionByName(delta)
+    )
+
+
+def merge_turns_latest_wins(prior_turns: DataFrame, delta_turns: DataFrame) -> DataFrame:
+    """Latest-wins turn merge on (conv_id, turn_idx): delta rows override
+    prior rows, prior-only rows survive.  Column order follows the delta."""
+    return (
+        prior_turns.join(
+            delta_turns.select("conv_id", "turn_idx"),
+            ["conv_id", "turn_idx"],
+            "left_anti",
+        )
+        .select(*delta_turns.columns)
+        .unionByName(delta_turns)
+    )
+
+
 def run_incremental_dedup(
     spark: SparkSession,
     new_turns: DataFrame,
@@ -174,19 +212,18 @@ def run_incremental_dedup(
             # tables) doesn't compound plan depth into Catalyst-analysis
             # blowup (measured: un-truncated plans hang the optimizer)
             grown_ids = grown_ids.localCheckpoint(eager=True)
+        if prior_turns is not None and not grown_ids.isEmpty():
+            # (isEmpty on the checkpointed delta-sized frame is ~free; a
+            # purely-new delta must NOT enter the grown path — it would
+            # set `carried` to an empty-but-not-None frame and spuriously
+            # trigger the prior_extra_pairs requirement below)
             resigned_ids = grown_ids
             # latest-wins merge of the grown conversations' turn sets:
             # delta rows override prior rows on (conv_id, turn_idx)
             grown_delta = new_turns.join(grown_ids, "conv_id", "left_semi")
             fresh_delta = new_turns.join(grown_ids, "conv_id", "left_anti")
-            merged_grown = grown_delta.unionByName(
-                prior_turns.join(grown_ids, "conv_id", "left_semi")
-                .join(
-                    grown_delta.select("conv_id", "turn_idx"),
-                    ["conv_id", "turn_idx"],
-                    "left_anti",
-                )
-                .select(*grown_delta.columns)
+            merged_grown = merge_turns_latest_wins(
+                prior_turns.join(grown_ids, "conv_id", "left_semi"), grown_delta
             )
             sign_input = fresh_delta.unionByName(merged_grown)
             # retract the grown conversations' ENTIRE prior clusters: stale
@@ -372,6 +409,12 @@ def run_incremental_dedup(
                 containment.prefix_containment_pairs_delta(old_full, signed_new, cfg)
             )
             if containment_mode != "prefix":
+                # delta-sized: persist so the general pass's prefix leg and
+                # the caller's own materialization share one computation
+                # (released by the cleanup hook)
+                delta_passes["containment_prefix_new"] = (
+                    delta_passes["containment_prefix_new"].persist()
+                )
                 delta_passes["containment_pairs_new"] = (
                     containment.general_containment_pairs_delta(
                         old_full,
@@ -380,6 +423,9 @@ def run_incremental_dedup(
                         backend="contains"
                         if containment_mode == "general"
                         else "suffix_array",
+                        # the prefix leg just computed above — don't run
+                        # its blocked self-join a second time
+                        prefix_pairs=delta_passes["containment_prefix_new"],
                     )
                 )
         if with_simhash_pass:
@@ -544,6 +590,9 @@ def run_incremental_dedup(
         storage for the session lifetime)."""
         for df in (signed_new, new, combined, ex2):
             df.unpersist()
+        pref = delta_passes.get("containment_prefix_new")
+        if pref is not None and "containment_pairs_new" in delta_passes:
+            pref.unpersist()
 
     out: dict[str, Any] = {
         "signed_new": signed_new,

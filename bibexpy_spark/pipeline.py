@@ -168,8 +168,11 @@ def run_dedup(
             backend = "contains" if containment_mode == "general" else "suffix_array"
             containment_general = materialize(
                 "contain_general",
+                # the prefix leg rides the stage just materialized above
+                # instead of re-running the prefix-key self-join
                 lambda: containment.general_containment_pairs(
-                    signed, cfg, backend=backend
+                    signed, cfg, backend=backend,
+                    prefix_pairs=containment_prefix,
                 ),
             )
     if with_simhash_pass:

@@ -218,13 +218,21 @@ def read_wos(spark: SparkSession, path: str,
     """
     import glob as _glob
     import os as _os
-    from urllib.parse import urlparse as _urlparse
 
-    # scheme strip via urlparse so file://host/x and file:///x both resolve
-    # to a filesystem path (ADVICE r3: a bare [5:] slice mishandled
-    # file://host/ URIs)
-    parsed = _urlparse(path)
-    raw = parsed.path if parsed.scheme == "file" else path
+    # scheme strip WITHOUT urlparse: local paths here are not URL-encoded,
+    # so '?' and '#' are glob/filename characters, not query/fragment
+    # delimiters (urlparse would truncate 'file:/data/wos-?.txt' at the
+    # '?').  file:/p, file:///p and file://host/p all resolve; only the
+    # optional //authority component is dropped (ADVICE r3 on bare [5:]).
+    if path.startswith("file:"):
+        rest = path[5:]
+        if rest.startswith("//"):
+            slash = rest.find("/", 2)
+            raw = rest[slash:] if slash >= 0 else rest[2:]
+        else:
+            raw = rest
+    else:
+        raw = path
     candidates = sorted(
         p for p in _glob.glob(raw) or ([raw] if _os.path.exists(raw) else [])
         if _os.path.isfile(p)

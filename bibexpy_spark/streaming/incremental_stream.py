@@ -29,6 +29,10 @@ State layout under ``state_dir``:
                over everything ingested; only present when the pass is on)
     _committed/<batch_id>  marker files — a batch with a marker is skipped on
                checkpoint replay (the swap already committed)
+    _swap_intent  write-ahead intent for the multi-table swap: written only
+               after every staged tmp is fully on disk, removed after the
+               last commit — a crash in between is rolled FORWARD by
+               recover_pending_swap, so replays never see mixed state
 
 At 10^12-turn scale the state tables are Iceberg tables and the swap is a
 snapshot commit; the parquet tmp-dir swap below is this sandbox's stand-in
@@ -44,7 +48,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bibexpy_spark.config import CANONICAL, DedupConfig
-from bibexpy_spark.incremental import _SIG_COLS, run_incremental_dedup
+from bibexpy_spark.incremental import (
+    _SIG_COLS,
+    compose_pair_state,
+    merge_turns_latest_wins,
+    run_incremental_dedup,
+)
 from bibexpy_spark.streaming.ingest import read_turn_stream
 
 
@@ -61,6 +70,62 @@ def _commit(path: str) -> None:
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(path + ".tmp", path)
+
+
+def recover_pending_swap(state_dir: str) -> bool:
+    """Roll FORWARD a multi-table swap whose intent marker exists.
+
+    The intent file is written (atomically, tmp + os.replace) only after
+    EVERY staged tmp dir of the batch is fully materialized, so completing
+    the swap is always safe: any listed path whose ``.tmp`` still exists is
+    committed (a missing tmp means that table's os.replace already ran),
+    the staged remap delta is folded, the batch's committed marker is
+    written, and the intent is removed last.  Idempotent — called on stream
+    start and before every batch, it closes the crash window between the
+    individual table commits: state is never left mixed old/new for a
+    checkpoint replay to compute against (ADVICE r3 follow-up; a crash
+    BEFORE the intent write simply discards the tmps and the replay
+    recomputes the batch against the untouched prior state).
+
+    Returns True when a pending swap was completed.
+    """
+    intent = os.path.join(state_dir, "_swap_intent")
+    if not os.path.exists(intent):
+        return False
+    import json
+
+    with open(intent) as fh:
+        info = json.load(fh)
+    batch_id = info["batch_id"]
+    for path in info["paths"]:
+        if os.path.exists(path + ".tmp"):
+            _commit(path)
+    remap_tmp = os.path.join(state_dir, f"_remap_delta_{batch_id}")
+    if os.path.exists(remap_tmp):
+        remaps_p = os.path.join(state_dir, "remaps")
+        os.makedirs(remaps_p, exist_ok=True)
+        for fn in sorted(os.listdir(remap_tmp)):
+            if fn.endswith(".parquet"):
+                os.replace(
+                    os.path.join(remap_tmp, fn),
+                    os.path.join(remaps_p, f"batch{batch_id}-{fn}"),
+                )
+        shutil.rmtree(remap_tmp)
+    marker_dir = os.path.join(state_dir, "_committed")
+    os.makedirs(marker_dir, exist_ok=True)
+    open(os.path.join(marker_dir, str(batch_id)), "w").close()
+    os.remove(intent)
+    return True
+
+
+def _write_intent(state_dir: str, batch_id: int, paths: list[str]) -> None:
+    """Atomically publish the swap intent (see recover_pending_swap)."""
+    import json
+
+    intent = os.path.join(state_dir, "_swap_intent")
+    with open(intent + ".tmp", "w") as fh:
+        json.dump({"batch_id": batch_id, "paths": paths}, fh)
+    os.replace(intent + ".tmp", intent)
 
 
 def foreach_batch_incremental_dedup(
@@ -125,6 +190,10 @@ def foreach_batch_incremental_dedup(
     marker_dir = os.path.join(state_dir, "_committed")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # a crash mid-swap leaves an intent marker: complete that swap
+        # BEFORE reading any state (it also writes the crashed batch's
+        # committed marker, so its replay exits below)
+        recover_pending_swap(state_dir)
         if batch_df.isEmpty():
             return
         # idempotency marker (ADVICE r3): checkpoint replay of a batch whose
@@ -184,15 +253,7 @@ def foreach_batch_incremental_dedup(
             )
         new_turns_state = batch_df
         if prior_t is not None:
-            new_turns_state = (
-                prior_t.join(
-                    batch_df.select("conv_id", "turn_idx"),
-                    ["conv_id", "turn_idx"],
-                    "left_anti",
-                )
-                .select(*batch_df.columns)
-                .unionByName(batch_df)
-            )
+            new_turns_state = merge_turns_latest_wins(prior_t, batch_df)
         # STAGE every output (remap delta included) while the prior state
         # dirs are still readable — their lineage reads those parquets —
         # THEN commit all swaps together and drop the marker last, so a
@@ -204,24 +265,25 @@ def foreach_batch_incremental_dedup(
             p = os.path.join(state_dir, subdir)
             composed = res[delta_key]
             if have_state and os.path.exists(p):
-                resigned = res["resigned_prior_ids"]
-                composed = (
-                    spark.read.parquet(p)
-                    .join(resigned.withColumnRenamed("conv_id", a), a, "left_anti")
-                    .join(resigned.withColumnRenamed("conv_id", b), b, "left_anti")
-                    .select(*composed.columns)
-                    .unionByName(composed)
+                composed = compose_pair_state(
+                    spark.read.parquet(p), composed,
+                    res["resigned_prior_ids"], a, b,
                 )
             _stage(composed, p)
         remap_tmp = os.path.join(state_dir, f"_remap_delta_{batch_id}")
         res["cluster_remap"].withColumn("batch_id", F.lit(batch_id)).write.mode(
             "overwrite"
         ).parquet(remap_tmp)
-        _commit(clusters_p)
-        _commit(signed_p)
-        _commit(turns_p)
-        for _k, subdir, _a, _b in pair_states:
-            _commit(os.path.join(state_dir, subdir))
+        # every tmp is now fully on disk: publish the write-ahead intent,
+        # THEN swap.  A crash anywhere from here to the intent removal is
+        # rolled FORWARD by recover_pending_swap (start of handle / stream
+        # start) — the state can never be read mixed old/new by a replay
+        swap_paths = [clusters_p, signed_p, turns_p] + [
+            os.path.join(state_dir, subdir) for _k, subdir, _a, _b in pair_states
+        ]
+        _write_intent(state_dir, batch_id, swap_paths)
+        for path in swap_paths:
+            _commit(path)
         # fold the staged remap delta into the flat append-only audit dir
         # under batch-unique names (replays overwrite, never duplicate)
         os.makedirs(remaps_p, exist_ok=True)
@@ -234,8 +296,12 @@ def foreach_batch_incremental_dedup(
         shutil.rmtree(remap_tmp)
         os.makedirs(marker_dir, exist_ok=True)
         open(marker, "w").close()
+        os.remove(os.path.join(state_dir, "_swap_intent"))
         res["cleanup"]()
 
+    # complete any swap a previous process crashed in the middle of before
+    # the restarted stream reads state or replays the batch
+    recover_pending_swap(state_dir)
     return (
         stream.writeStream.foreachBatch(handle)
         .trigger(availableNow=True)

@@ -122,23 +122,29 @@ def main(argv: list[str] | None = None) -> None:
         ap.error("--cluster-edges containment needs --containment")
     if "simhash" in edges and args.no_simhash:
         ap.error("--cluster-edges simhash conflicts with --no-simhash")
-    if edges and args.incremental:
-        # incremental edge folding consumes the maintained pair state (a
-        # dissolved cluster's surviving edges exist nowhere else), so the
-        # matching prior pair tables are required
-        if "containment" in edges:
-            need = ("--prior-containment-pairs"
-                    if args.containment_mode != "prefix"
-                    else "--prior-containment-prefix")
-            have = (args.prior_containment_pairs
-                    if args.containment_mode != "prefix"
-                    else args.prior_containment_prefix)
-            if not have:
-                ap.error(f"--cluster-edges containment with --incremental "
-                         f"needs {need} (the prior run's pair state)")
-        if "simhash" in edges and not args.prior_simhash_pairs:
-            ap.error("--cluster-edges simhash with --incremental needs "
-                     "--prior-simhash-pairs (the prior run's pair state)")
+    if args.incremental:
+        # the composed pair tables written to <output> ARE the state the
+        # NEXT delta run reads — composing against a missing prior table
+        # would silently truncate them to delta-only pairs and every later
+        # run would inherit the loss, so each enabled pass hard-requires
+        # its prior pair state here (any prior run with the pass on wrote
+        # it; a prior state written WITHOUT the pass cannot serve a run
+        # WITH it anyway — the signed-column checks below enforce that)
+        if args.containment and not args.prior_containment_prefix:
+            ap.error("--containment with --incremental needs "
+                     "--prior-containment-prefix (the prior run's "
+                     "containment_prefix output)")
+        if (args.containment and args.containment_mode != "prefix"
+                and not args.prior_containment_pairs):
+            ap.error("--containment-mode general/general_sa with "
+                     "--incremental needs --prior-containment-pairs (the "
+                     "prior run's containment_pairs output; a prior run in "
+                     "prefix mode never produced one — re-run the batch in "
+                     "a general mode first)")
+        if not args.no_simhash and not args.prior_simhash_pairs:
+            ap.error("the SimHash pass with --incremental needs "
+                     "--prior-simhash-pairs (the prior run's simhash_pairs "
+                     "output); pass --no-simhash to skip the pass")
 
     from pyspark.sql import SparkSession
 
@@ -234,26 +240,17 @@ def main(argv: list[str] | None = None) -> None:
             res["signed_new"].select(*_sig_cols)
         ).write.mode("overwrite").parquet(os.path.join(args.output, "signed"))
 
-        def compose_pairs(delta_key: str, prior_path: str | None,
+        def compose_pairs(delta_key: str, prior_path: str,
                           out_name: str, a: str, b: str) -> None:
-            """Pair-state composition (the delta-op equivalence contract,
-            operators/containment.py + operators/simhash.py: prior pairs
-            minus pairs touching a re-signed conversation, union the delta
-            pairs, equals the batch pass over old ∪ new)."""
-            delta = res[delta_key]
-            composed = delta
-            if prior_path:
-                resigned = res["resigned_prior_ids"]
-                composed = (
-                    spark.read.parquet(prior_path)
-                    .join(resigned.withColumnRenamed("conv_id", a),
-                          a, "left_anti")
-                    .join(resigned.withColumnRenamed("conv_id", b),
-                          b, "left_anti")
-                    .select(*delta.columns)
-                    .unionByName(delta)
-                )
-            composed.write.mode("overwrite").parquet(
+            """Write the composed pair state via the single-sourced
+            incremental.compose_pair_state (delta-op equivalence contract).
+            prior_path is hard-required by the flag validation above —
+            composing without it would silently truncate the state the
+            next delta run reads to delta-only pairs."""
+            incremental.compose_pair_state(
+                spark.read.parquet(prior_path), res[delta_key],
+                res["resigned_prior_ids"], a, b,
+            ).write.mode("overwrite").parquet(
                 os.path.join(args.output, out_name)
             )
 

@@ -317,3 +317,29 @@ def test_extra_edges_validation_and_simhash_monotone(spark, turns_df):
         .groupBy("c_base").count().filter("count > 1").count()
     )
     assert j == 0
+
+
+def test_verify_pos_char_offsets_non_ascii(spark):
+    """pos contract: CHARACTER offset (instr semantics) under BOTH verify
+    backends even when normalization leaves non-ASCII in the text (the fold
+    is config-dependent).  Regression: the suffix-array backend used to emit
+    the raw UTF-8 BYTE offset, diverging from `contains` on multibyte
+    outers."""
+    rows = [
+        ("i1", "o1", "wörld", "héllo zz wörld"),
+        ("i2", "o1", "héllo", "héllo zz wörld"),
+        ("i3", "o2", "naïve", "ααα naïve ββ"),
+        ("i4", "o2", "β", "ααα naïve ββ"),
+        ("i5", "o3", "plain", "all ascii plain text"),
+    ]
+    cand = spark.createDataFrame(
+        rows,
+        "inner_id string, outer_id string, inner_text string, outer_text string",
+    )
+    exp = {(i, o): outer.find(inner) for i, o, inner, outer in rows}
+    for backend in ("contains", "suffix_array"):
+        got = {
+            (r["inner_id"], r["outer_id"]): r["pos"]
+            for r in containment._verify_with_pos(cand, backend).collect()
+        }
+        assert got == exp, backend

@@ -330,3 +330,29 @@ def test_incremental_extra_edges_grown_requires_pair_state(
     finally:
         old_phase.unpersist()
         delta.unpersist()
+
+
+def test_purely_new_delta_defensive_prior_turns_no_pair_state_needed(
+    spark, split_corpus, tmp_path
+):
+    """A delta of ONLY new conversations dissolves no cluster, so the
+    maintained pair state is legitimately unused — passing prior_turns
+    defensively (the docstring recommends it) must not trip the
+    prior_extra_pairs requirement.  Regression: `carried` used to become an
+    empty-but-not-None frame whenever prior_turns was supplied, spuriously
+    raising ValueError on a perfectly valid call."""
+    old_turns, new_turns, all_turns = split_corpus
+    EDGES = ("containment",)
+    kw = dict(
+        with_containment=True, with_simhash_pass=False,
+        containment_mode="prefix",
+    )
+    prior = pipeline.run_dedup(spark, old_turns, extra_cluster_edges=EDGES, **kw)
+    prior_s, prior_c = _state_tables(spark, prior, tmp_path, "pn")
+    incr = incremental.run_incremental_dedup(
+        spark, new_turns, prior_s, prior_c, prior_turns=old_turns,
+        extra_cluster_edges=EDGES, prior_extra_pairs=None, **kw,
+    )
+    full = pipeline.run_dedup(spark, all_turns, extra_cluster_edges=EDGES, **kw)
+    assert _cluster_set(incr["clusters"]) == _cluster_set(full["clusters"])
+    incr["cleanup"]()

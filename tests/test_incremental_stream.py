@@ -143,3 +143,49 @@ def test_stream_extra_edges_equals_batch(spark, tmp_path):
     }
     want = {(r["conv_id"], r["cluster_id"]) for r in full["clusters"].collect()}
     assert got == want
+
+
+def test_recover_pending_swap_rolls_forward(spark, tmp_path):
+    """Crash-atomicity of the multi-table state swap (r4 review): a crash
+    BETWEEN the per-table commits leaves the write-ahead intent on disk;
+    recovery must complete the remaining commits, fold the staged remap
+    delta, write the batch's committed marker (so its checkpoint replay
+    no-ops), and remove the intent — never leaving mixed old/new state."""
+    import json
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    clusters_p = os.path.join(state, "clusters")
+    signed_p = os.path.join(state, "signed")
+    turns_p = os.path.join(state, "turns")
+
+    old = spark.createDataFrame([("c1", "OLD")], "conv_id string, v string")
+    new = spark.createDataFrame([("c1", "NEW"), ("c2", "NEW")],
+                                "conv_id string, v string")
+    for p in (clusters_p, signed_p, turns_p):
+        old.write.mode("overwrite").parquet(p)
+        new.write.mode("overwrite").parquet(p + ".tmp")
+
+    # simulate the crash: intent published, ONE table already committed
+    with open(os.path.join(state, "_swap_intent.tmp"), "w") as fh:
+        json.dump({"batch_id": 7, "paths": [clusters_p, signed_p, turns_p]}, fh)
+    os.replace(os.path.join(state, "_swap_intent.tmp"),
+               os.path.join(state, "_swap_intent"))
+    istream._commit(clusters_p)  # crash happened right after this one
+    remap_tmp = os.path.join(state, "_remap_delta_7")
+    spark.createDataFrame([("x", "y")], "old_cluster_id string, cluster_id string") \
+        .coalesce(1).write.mode("overwrite").parquet(remap_tmp)
+
+    assert istream.recover_pending_swap(state) is True
+
+    for p in (clusters_p, signed_p, turns_p):
+        rows = {r["v"] for r in spark.read.parquet(p).collect()}
+        assert rows == {"NEW"}, p
+        assert not os.path.exists(p + ".tmp")
+    assert not os.path.exists(os.path.join(state, "_swap_intent"))
+    assert os.path.exists(os.path.join(state, "_committed", "7"))
+    assert not os.path.exists(remap_tmp)
+    remap_files = os.listdir(os.path.join(state, "remaps"))
+    assert any(f.startswith("batch7-") for f in remap_files)
+    # idempotent: a second call is a no-op
+    assert istream.recover_pending_swap(state) is False

@@ -165,3 +165,18 @@ def test_wos_default_reader_mixed_sizes(spark, tmp_path_factory):
     pdf = out.toPandas()
     assert len(pdf) == 13
     assert pdf.groupby("file")["doc_id"].nunique().sum() == 13
+
+
+def test_wos_file_uri_with_glob_metachars(spark, tmp_path_factory):
+    """Regression (r4 review): a file: URI whose path contains '?' (a glob
+    metacharacter, NOT a query delimiter — local paths are not URL-encoded)
+    must keep glob semantics; urlparse used to truncate at the '?'.  Both
+    file:/abs and file:///abs forms resolve."""
+    d = tmp_path_factory.mktemp("wos_uri")
+    for i in range(3):
+        wos.write_sample_wos(str(d / f"wos-{i}.txt"), n_docs=2)
+
+    got = wos.read_wos(spark, f"file:{d}/wos-?.txt").toPandas()
+    assert len(got) == 6
+    got3 = wos.read_wos(spark, f"file://{d}/wos-?.txt").toPandas()
+    assert len(got3) == 6

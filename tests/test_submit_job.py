@@ -197,3 +197,31 @@ def test_spark_submit_incremental_mode(tmp_path):
         f"SELECT count(*) FROM read_parquet('{out_incr}/signed/*.parquet')"
     ).fetchone()[0]
     assert n_state == n_conv
+
+
+def test_incremental_hard_requires_prior_pair_state_flags():
+    """Regression (r4 review): --incremental with a pass enabled but its
+    --prior-* pair flag missing used to compose the next-delta state from
+    the delta pairs ALONE, silently dropping every prior pair; the job must
+    refuse up front instead."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "dedup_job_validation", os.path.join(REPO, "jobs", "dedup_job.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    base = ["--input", "in.parquet", "--output", "out", "--incremental"]
+    # containment on, prefix state flag missing
+    with pytest.raises(SystemExit):
+        mod.main(base + ["--containment", "--no-simhash"])
+    # general mode: prefix state present, general pair state missing
+    with pytest.raises(SystemExit):
+        mod.main(base + [
+            "--containment", "--containment-mode", "general", "--no-simhash",
+            "--prior-containment-prefix", "p",
+        ])
+    # simhash pass on (default), its pair state missing
+    with pytest.raises(SystemExit):
+        mod.main(base)

@@ -151,7 +151,11 @@ def test_cosine_backends_agree(spark):
 
     rng = np.random.default_rng(7)
     rows = [(i, rng.standard_normal(16).tolist()) for i in range(60)]
-    rows += [(60, [0.0] * 16), (61, None)]  # zero-norm + null endpoint
+    # degenerates: zero-norm, null endpoint, RAGGED dim (a truncated write /
+    # schema drift row — must degrade to NULL like the HOF zip_with path,
+    # never crash the kernel batch's np.stack)
+    rows += [(60, [0.0] * 16), (61, None),
+             (62, rng.standard_normal(8).tolist())]
     df = spark.createDataFrame(rows, "id long, emb array<double>")
     a = df.select(F.col("id").alias("a_id"), F.col("emb").alias("a"))
     b = df.select(F.col("id").alias("b_id"), F.col("emb").alias("b"))
@@ -163,7 +167,7 @@ def test_cosine_backends_agree(spark):
         F.round(vector_ops.cosine(F.col("a"), F.col("b"), "kernel"), 4).alias("ck"),
         F.round(vector_ops.cosine(F.col("a"), F.col("b"), "hof"), 4).alias("ch"),
     ).toPandas()
-    assert len(out) == 62 * 61 // 2
+    assert len(out) == 63 * 62 // 2
     # null where either endpoint is degenerate, equal everywhere else
     degen = (out.a_id >= 60) | (out.b_id >= 60)
     assert out.loc[degen, "ck"].isna().all()
