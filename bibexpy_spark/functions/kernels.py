@@ -203,7 +203,19 @@ def minhash_signatures(shingles: list[np.ndarray], cfg: DedupConfig) -> np.ndarr
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     flat = np.concatenate(shingles) if n else np.empty(0, dtype=np.uint64)
-    sig = np.empty((n, cfg.num_perm), dtype=np.uint64)
+    # defined semantics for EMPTY shingle sets (r4 review: np.empty returned
+    # uninitialized garbage for all-empty batches and the column-slice min
+    # raised on mixed batches): min over the empty set = the identity,
+    # uint64 max — deterministic, and identical for every empty doc.
+    # shingle_sets never emits empty sets (whole-doc fold), but this public
+    # kernel is also driven by tools/ and the oracle.
+    has_empty = bool((counts == 0).any()) if n else False
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    sig = (
+        np.full((n, cfg.num_perm), sentinel, dtype=np.uint64)
+        if has_empty
+        else np.empty((n, cfg.num_perm), dtype=np.uint64)
+    )
     if len(flat) == 0:
         return sig
 
@@ -227,6 +239,8 @@ def minhash_signatures(shingles: list[np.ndarray], cfg: DedupConfig) -> np.ndarr
             np.add(view, b_col, out=view)
             for i in range(r, r2):
                 s, e = int(offsets[i] - lo), int(offsets[i + 1] - lo)
+                if s == e:
+                    continue  # empty set: row already holds the sentinel
                 sig[i] = view[:, s:e].min(axis=1)
             r = r2
     return sig

@@ -70,9 +70,18 @@ def assemble_docs(turns: DataFrame, include_roles_tools: bool = False) -> DataFr
     partial aggregates and the shuffle carry exactly what downstream needs.
     Ordering guarantee identical to :func:`assemble_conversations`.
     """
-    fields = ["turn_idx", "text"] + (["role", "tool"] if include_roles_tools else [])
+    # sort key = (turn_idx, role, text, tool) ALWAYS — the same tiebreak
+    # prefix assemble_conversations uses — so a duplicate-turn_idx corpus
+    # assembles the SAME doc through both paths (r4 review: a lean
+    # (turn_idx, text) struct broke ties text-first and produced a
+    # different doc/content_sha than the invariant surface; the ts field
+    # can still differ as a final tiebreak there, but rows tying on all
+    # four keys render identical text either way).  role/tool ride the
+    # shuffle even in the lean path: a few bytes next to the text column.
     agg = turns.groupBy("conv_id").agg(
-        F.sort_array(F.collect_list(F.struct(*fields))).alias("_t")
+        F.sort_array(
+            F.collect_list(F.struct("turn_idx", "role", "text", "tool"))
+        ).alias("_t")
     )
     # codegen-native field extraction, same rationale as assemble_conversations
     out = agg.withColumn("doc", F.array_join(F.col("_t.text"), TURN_SEP))

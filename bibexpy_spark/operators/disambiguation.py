@@ -108,10 +108,20 @@ def cluster_blocks(mentions: DataFrame, jw_threshold: float = CLUSTER_JW) -> Dat
         F.lit(False),
     )
 
-    def _cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+    # applyInPandas dispatches on arity (2 params => (key, pdf)), so the
+    # grouped-map entrypoint below stays single-arg and recursion happens
+    # through this helper.
+    def _cluster_rec(pdf: pd.DataFrame, depth: int) -> pd.DataFrame:
         block = pdf["block"].iloc[0]
         salted = False
-        if len(pdf) > MAX_BLOCK:
+        # guard on DISTINCT variants, not mention rows: the pairwise loop
+        # below is O(variants²) — a block of 100k mentions of ONE name is
+        # cheap and must not salt (r4 review: salting such a block by
+        # norm_name hash reproduced the identical block and recursed
+        # forever).  depth-capped for provable termination: each level
+        # splits the variant set ~64-way, so the cap is unreachable on
+        # real data, and at the cap the quadratic loop is finite anyway.
+        if pdf["norm_name"].nunique(dropna=True) > MAX_BLOCK and depth < 3:
             # hot-block salting: sub-block by full norm_name hash
             pdf = pdf.assign(
                 block=pdf["block"] + "#" + pdf["norm_name"].map(
@@ -120,7 +130,7 @@ def cluster_blocks(mentions: DataFrame, jw_threshold: float = CLUSTER_JW) -> Dat
             )
             salted = True
             return pd.concat(
-                [_cluster(g) for _, g in pdf.groupby("block", sort=True)]
+                [_cluster_rec(g, depth + 1) for _, g in pdf.groupby("block", sort=True)]
             ).assign(salted=True)
 
         variants = sorted(set(pdf["norm_name"].dropna()))
@@ -164,6 +174,9 @@ def cluster_blocks(mentions: DataFrame, jw_threshold: float = CLUSTER_JW) -> Dat
         ]
         out["salted"] = salted
         return out[[f.name for f in _CLUSTER_SCHEMA.fields]]
+
+    def _cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _cluster_rec(pdf, 0)
 
     return keyed.select(
         "record_id", "author_pos", "raw_name", "norm_name", "orcid", "block", "salted"

@@ -167,6 +167,12 @@ def compute_facets(df: DataFrame, facet_cols: list[str], top_n: int = 10) -> dic
 
 def paginate(df: DataFrame, order_col: str, offset: int, limit: int,
              cols: list[str] | None = None) -> DataFrame:
-    """Stable-order pagination (parity paginate, filter_engine.py:259-300)."""
+    """Stable-order pagination (parity paginate, filter_engine.py:259-300).
+
+    Ties on ``order_col`` are broken by every other output column, so page
+    boundaries are deterministic across the separate per-page jobs up to
+    fully-identical rows (which are interchangeable) — a bare single-column
+    sort would let a tied row land on two pages or neither (r4 review)."""
     base = df.select(*cols) if cols else df
-    return base.orderBy(order_col).offset(offset).limit(limit)
+    tiebreak = [c for c in base.columns if c != order_col]
+    return base.orderBy(order_col, *tiebreak).offset(offset).limit(limit)

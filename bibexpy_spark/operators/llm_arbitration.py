@@ -91,9 +91,13 @@ def arbitrate_tier2_unknown(
         needs = needs & (F.coalesce("orcid_verdict", F.lit("unknown")) == "unknown")
     keyed = with_payload(proposals).withColumn("_needs_llm", needs)
 
+    # the cache is unbounded production state (months of responses) — never
+    # broadcast it (r4 review).  The inner join broadcasts the delta-sized
+    # `pending` side instead; the anti join must keep pending on the left,
+    # so it gets a narrowed cache and AQE picks the strategy.
     pending = keyed.filter("_needs_llm").select("cache_key", "payload").distinct()
-    hits = pending.join(F.broadcast(cache), "cache_key", "inner")
-    misses = pending.join(F.broadcast(cache), "cache_key", "left_anti")
+    hits = cache.join(F.broadcast(pending.select("cache_key")), "cache_key", "inner")
+    misses = pending.join(cache.select("cache_key"), "cache_key", "left_anti")
 
     if arbiter is not None:
         def _call(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,8 +118,16 @@ def arbitrate_tier2_unknown(
                         }
                     )
 
-        fetched = misses.mapInPandas(_call, schema=_MISS_SCHEMA).filter(
-            F.col("response").isNotNull()
+        # persist: `fetched` feeds BOTH the grown cache and the verdicts —
+        # without it each downstream action re-invokes the external arbiter
+        # (double cost), and a nondeterministic arbiter could store one
+        # response in the cache while showing another in `arbitrated`,
+        # breaking replay bit-identity (r4 review).  Miss-sized, released
+        # with the session (callers materialize both outputs immediately).
+        fetched = (
+            misses.mapInPandas(_call, schema=_MISS_SCHEMA)
+            .filter(F.col("response").isNotNull())
+            .persist()
         )
     else:
         fetched = spark.createDataFrame([], CACHE_SCHEMA)

@@ -21,14 +21,21 @@ from bibexpy_spark.functions import udfs
 
 
 def with_simhash(conversations: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Add ``fuzzy_feat`` (normalized doc + roles + tools) and ``simhash``."""
+    """Add ``simhash`` over the normalized (doc + roles + tools) feature.
+
+    The intermediate normalized feature is dropped before returning (r4
+    review: leaving it aboard put a second full-text copy of every
+    conversation into the pipeline's persisted ``signed``/``grouped``
+    frames and every downstream shuffle, and nothing ever read it)."""
     u = udfs.for_config(cfg)
     feat = F.concat_ws(
         " ", F.col("doc"), F.coalesce("roles", F.lit("")), F.coalesce("tools", F.lit(""))
     )
-    return conversations.withColumn(
-        "fuzzy_feat", u["normalize"](feat)
-    ).withColumn("simhash", u["simhash"](F.col("fuzzy_feat")))
+    return (
+        conversations.withColumn("fuzzy_feat", u["normalize"](feat))
+        .withColumn("simhash", u["simhash"](F.col("fuzzy_feat")))
+        .drop("fuzzy_feat")
+    )
 
 
 def _chunked(simmed: DataFrame, cfg: DedupConfig, id_col: str) -> DataFrame:

@@ -78,9 +78,12 @@ def run_dedup(
         # cache stages reused by multiple downstream consumers
         return df
 
-    if run is not None:
+    if run is not None and not run.stage_fresh("assemble"):
         # contract guard (input_hint: turn_idx is the stable order key):
-        # duplicate (conv_id, turn_idx) keys are surfaced, never silent
+        # duplicate (conv_id, turn_idx) keys are surfaced, never silent.
+        # Gated on stage freshness (r4 review): a resume whose assemble
+        # manifest matches must not pay a full-corpus groupBy scan for a
+        # metric the original run already logged.
         run.log_metric(
             "assemble", duplicate_turn_keys=assembly.count_duplicate_turn_keys(turns)
         )

@@ -10,6 +10,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from pyspark.sql import functions as F
+
 from bibexpy_spark import oracle
 from bibexpy_spark.config import CANONICAL
 from bibexpy_spark.functions import kernels, udfs
@@ -343,3 +345,63 @@ def test_verify_pos_char_offsets_non_ascii(spark):
             for r in containment._verify_with_pos(cand, backend).collect()
         }
         assert got == exp, backend
+
+
+def test_prefix_leg_lossless_for_short_and_edge_inners(spark):
+    """The char-keyed prefix leg (r4 review fix) must catch EVERY true
+    prefix pair, including the two classes the old first-N-token key
+    missed: inners shorter than N tokens, and exactly-N-token inners whose
+    last token char-extends in the outer.  Verified against a brute-force
+    startswith oracle, batch AND delta variants."""
+    long_tail = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        ("short_in", "hello world"),                       # 2 tokens < N=8
+        ("short_out", "hello world " + long_tail),
+        ("edge_in", "a b c d e f g foo"),                  # exactly 8 tokens
+        ("edge_out", "a b c d e f g foobar " + long_tail),  # last token extends
+        ("edge_out2", "a b c d e f g foo " + long_tail),   # token-aligned
+        ("tiny_in", "x"),                                  # 1-char inner
+        ("tiny_out", "xy z " + long_tail),
+        ("noise", "completely different text " + long_tail),
+    ]
+    signed = spark.createDataFrame(rows, "conv_id string, norm_text string")
+    want = {
+        (a, b)
+        for a, ta in rows
+        for b, tb in rows
+        if a != b and len(ta) < len(tb) and tb.startswith(ta)
+    }
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment.prefix_containment_pairs(signed, CANONICAL).collect()
+    }
+    assert got == want
+    assert ("short_in", "short_out") in got     # < N tokens
+    assert ("edge_in", "edge_out") in got       # char-extended Nth token
+    assert ("tiny_in", "tiny_out") in got       # 1-char prefix
+
+    # delta contract: split old/new, delta emits exactly the >=1-new pairs
+    new_ids = {"short_out", "edge_in", "tiny_in"}
+    old = signed.filter(~F.col("conv_id").isin(*new_ids))
+    new = signed.filter(F.col("conv_id").isin(*new_ids))
+    got_d = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment.prefix_containment_pairs_delta(
+            old, new, CANONICAL
+        ).collect()
+    }
+    want_d = {(a, b) for a, b in want if a in new_ids or b in new_ids}
+    assert got_d == want_d
+
+
+def test_containment_index_stats_one_row(spark, turns_df):
+    """The never-silent df-cap contract has a real metrics surface: one row,
+    hot shingles counted against the cap, all-hot rows surfaced."""
+    signed = _signed(spark, turns_df)
+    row = containment.containment_index_stats(signed, max_shingle_freq=2).first()
+    assert row["n_shingles"] > 0
+    assert row["n_hot_shingles"] >= 0 and row["max_df"] >= 1
+    none_hot = containment.containment_index_stats(
+        signed, max_shingle_freq=10**9
+    ).first()
+    assert none_hot["n_hot_shingles"] == 0 and none_hot["n_allhot_rows"] == 0
