@@ -70,6 +70,13 @@ class DedupConfig:
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
                 f"!= num_perm ({self.num_perm})"
             )
+        if self.containment_prefix_tokens < 1:
+            # C = 8 * containment_prefix_tokens chars; C = 0 would collapse
+            # every prefix key to '' and pair every empty doc with every doc
+            raise ValueError(
+                f"containment_prefix_tokens must be >= 1, "
+                f"got {self.containment_prefix_tokens}"
+            )
 
     def config_hash(self) -> str:
         """Stable hash of the full config, used in checkpoint manifests."""

@@ -118,14 +118,16 @@ def cluster_blocks(mentions: DataFrame, jw_threshold: float = CLUSTER_JW) -> Dat
         # below is O(variants²) — a block of 100k mentions of ONE name is
         # cheap and must not salt (r4 review: salting such a block by
         # norm_name hash reproduced the identical block and recursed
-        # forever).  depth-capped for provable termination: each level
-        # splits the variant set ~64-way, so the cap is unreachable on
-        # real data, and at the cap the quadratic loop is finite anyway.
+        # forever).  depth-capped for provable termination: the salt folds
+        # the depth in, so every level re-buckets with an INDEPENDENT hash
+        # (a depth-blind salt would regroup an oversized bucket into the
+        # identical bucket and the recursion would be a no-op); at the cap
+        # the quadratic loop is finite anyway.
         if pdf["norm_name"].nunique(dropna=True) > MAX_BLOCK and depth < 3:
-            # hot-block salting: sub-block by full norm_name hash
+            # hot-block salting: sub-block by depth-folded norm_name hash
             pdf = pdf.assign(
                 block=pdf["block"] + "#" + pdf["norm_name"].map(
-                    lambda s: str(hash_bucket(s))
+                    lambda s: str(hash_bucket(f"{depth}|{s}"))
                 )
             )
             salted = True

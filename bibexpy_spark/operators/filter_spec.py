@@ -19,6 +19,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 
@@ -165,14 +166,30 @@ def compute_facets(df: DataFrame, facet_cols: list[str], top_n: int = 10) -> dic
     return out
 
 
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can sort on a column of this type (maps cannot, nor
+    any type containing one)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def paginate(df: DataFrame, order_col: str, offset: int, limit: int,
              cols: list[str] | None = None) -> DataFrame:
     """Stable-order pagination (parity paginate, filter_engine.py:259-300).
 
-    Ties on ``order_col`` are broken by every other output column, so page
-    boundaries are deterministic across the separate per-page jobs up to
-    fully-identical rows (which are interchangeable) — a bare single-column
-    sort would let a tied row land on two pages or neither (r4 review)."""
+    Ties on ``order_col`` are broken by the other ORDERABLE output columns,
+    so page boundaries are deterministic across the separate per-page jobs
+    up to rows identical on every orderable column — a bare single-column
+    sort would let a tied row land on two pages or neither (r4 review);
+    map-typed columns are skipped rather than raising AnalysisException."""
     base = df.select(*cols) if cols else df
-    tiebreak = [c for c in base.columns if c != order_col]
+    tiebreak = [
+        f.name for f in base.schema.fields
+        if f.name != order_col and _orderable(f.dataType)
+    ]
     return base.orderBy(order_col, *tiebreak).offset(offset).limit(limit)

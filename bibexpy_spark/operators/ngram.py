@@ -257,15 +257,17 @@ def verify_gram_pairs(
     j = (
         fetched.groupBy("a_id", "b_id")
         .agg(
-            # endpoint-coverage guard (ADVICE r3): require BOTH endpoints
-            # fetched — a one-endpoint pair must drop (the old double inner
-            # join semantics), not self-verify to Jaccard 1.0
-            F.count(F.lit(1)).alias("_n"),
-            # exactly two rows per pair (a_id < b_id): flag picks each side
+            # endpoint-coverage guard (ADVICE r3, refined r4): require BOTH
+            # endpoints fetched — a one-endpoint pair must drop (the old
+            # double inner join semantics), not self-verify to Jaccard 1.0.
+            # Presence per side, not a row count of 2: a duplicate id in
+            # ``hashed`` (a caller bug) must not silently drop the pair
+            F.sum((F.col("id") == F.col("a_id")).cast("int")).alias("_na"),
+            F.sum((F.col("id") == F.col("b_id")).cast("int")).alias("_nb"),
             F.max_by("gh", (F.col("id") == F.col("a_id")).cast("int")).alias("a_gh"),
             F.min_by("gh", (F.col("id") == F.col("a_id")).cast("int")).alias("b_gh"),
         )
-        .filter(F.col("_n") == 2)
+        .filter((F.col("_na") >= 1) & (F.col("_nb") >= 1))
         .withColumn("a_n", F.size("a_gh"))
         .withColumn("b_n", F.size("b_gh"))
         # size-ratio prefilter before the array intersection

@@ -53,11 +53,14 @@ def verify_pairs(
     fetched = need.join(side, "id")
     is_a = (F.col("id") == F.col("a_id")).cast("int")
     aggs = [
-        # endpoint-coverage guard (ADVICE r3): a pair whose endpoint is
-        # missing from ``signed`` must be DROPPED, not verified against a
-        # single fetched row (max_by/min_by would return the same row for
-        # both sides -> self-Jaccard 1.0, a false duplicate)
-        F.count(F.lit(1)).alias("_n"),
+        # endpoint-coverage guard (ADVICE r3, refined r4): a pair whose
+        # endpoint is missing from ``signed`` must be DROPPED, not verified
+        # against a single fetched row (max_by/min_by would return the same
+        # row for both sides -> self-Jaccard 1.0, a false duplicate).
+        # Presence per SIDE, not a row count of 2: a duplicate id in
+        # ``signed`` (a caller bug) must not silently drop the pair
+        F.sum(is_a).alias("_na"),
+        F.sum(F.lit(1) - is_a).alias("_nb"),
         F.max_by("shingles", is_a).alias("a_sh"),
         F.min_by("shingles", is_a).alias("b_sh"),
         F.max_by("sh_n", is_a).alias("a_n"),
@@ -68,7 +71,11 @@ def verify_pairs(
             F.max_by("strong_id", is_a).alias("a_strong"),
             F.min_by("strong_id", is_a).alias("b_strong"),
         ]
-    j = fetched.groupBy("a_id", "b_id").agg(*aggs).filter(F.col("_n") == 2)
+    j = (
+        fetched.groupBy("a_id", "b_id")
+        .agg(*aggs)
+        .filter((F.col("_na") >= 1) & (F.col("_nb") >= 1))
+    )
 
     if strong_id_col:
         # negative rule: both sides identified, ids differ -> reject early

@@ -94,3 +94,26 @@ def test_pushdown_reaches_scan(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "IsNotNull(id)" in plan or "GreaterThan" in plan
+
+
+def test_paginate_skips_unorderable_tiebreak_columns(spark):
+    """paginate tiebreaks on every ORDERABLE column; a map-typed column
+    must be skipped, not raise AnalysisException (r4 review)."""
+    rows = [(2, {"k": "b"}, "y"), (1, {"k": "a"}, "x"), (3, {"k": "c"}, "z")]
+    df = spark.createDataFrame(rows, "UID int, meta map<string,string>, tag string")
+    page = filter_spec.paginate(df, "UID", offset=0, limit=2)
+    assert [r["UID"] for r in page.collect()] == [1, 2]
+    assert set(page.columns) == {"UID", "meta", "tag"}
+
+
+def test_paginate_tiebreak_deterministic_across_pages(spark):
+    """Rows tied on order_col must partition cleanly across pages (no row
+    on two pages, none lost) because the other orderable columns break
+    the tie identically in every per-page job."""
+    rows = [(1, f"t{i:02d}") for i in range(10)]
+    df = spark.createDataFrame(rows, "UID int, tag string")
+    got = []
+    for off in range(0, 10, 3):
+        got += [r["tag"] for r in
+                filter_spec.paginate(df, "UID", offset=off, limit=3).collect()]
+    assert got == [f"t{i:02d}" for i in range(10)]

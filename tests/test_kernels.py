@@ -169,3 +169,12 @@ def test_rolling_fingerprints_winnowing_guarantee():
     # density: winnowing keeps ~1/window of the raw hashes
     raw = len(base) - 7 + 1
     assert len(fps[0]) <= raw
+
+
+def test_config_rejects_nonpositive_prefix_tokens():
+    """containment_prefix_tokens < 1 would collapse every prefix key to ''
+    and pair every empty doc with every doc (r4 review)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="containment_prefix_tokens"):
+        DedupConfig(containment_prefix_tokens=0)

@@ -171,3 +171,24 @@ def test_gram_hash_kernel_matches_sql_equality_classes(spark):
             inter_g = len(g[a] & g[b])
             inter_h = len(h[a] & h[b])
             assert inter_g == inter_h, (a, b, g[a], g[b])
+
+
+def test_verify_endpoint_guard_drops_missing_keeps_duplicate(spark):
+    """The regroup endpoint guard (ADVICE r3, refined r4) must DROP a
+    candidate whose endpoint is absent from the side table (a lone row
+    would self-verify to Jaccard 1.0) while a pair whose endpoint appears
+    TWICE (a caller bug upstream) still verifies rather than silently
+    vanishing from recall."""
+    rows = [("a", "spark shuffle partition pruning broadcast join skew"),
+            ("b", "spark shuffle partition pruning broadcast join skew")]
+    hashed = ngram.with_gram_hashes(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text", 3
+    ).select(F.col("id"), F.col("gh"))
+    dup = hashed.unionByName(hashed.filter(F.col("id") == "b"))
+
+    cand = spark.createDataFrame(
+        [("a", "b"), ("a", "ghost")], ["a_id", "b_id"]
+    )
+    got = {(r["a_id"], r["b_id"]) for r in
+           ngram.verify_gram_pairs(cand, dup, 9, 10).collect()}
+    assert got == {("a", "b")}  # ghost dropped, dup-endpoint pair kept
