@@ -78,9 +78,18 @@ def assemble_docs(turns: DataFrame, include_roles_tools: bool = False) -> DataFr
     # can still differ as a final tiebreak there, but rows tying on all
     # four keys render identical text either way).  role/tool ride the
     # shuffle even in the lean path: a few bytes next to the text column.
+    # A minimal (conv_id, turn_idx, text) frame — e.g. a foreachBatch
+    # source without role/tool — still assembles: missing columns enter
+    # the struct as '' so the sort key degrades to (turn_idx, text) and
+    # the roles/tools outputs (if requested) are empty strings (r4 review:
+    # the unconditional column refs broke the documented lean shape).
+    have = set(turns.columns)
+    role = (F.col("role") if "role" in have else F.lit("")).alias("role")
+    tool = (F.col("tool") if "tool" in have else F.lit("")).alias("tool")
     agg = turns.groupBy("conv_id").agg(
         F.sort_array(
-            F.collect_list(F.struct("turn_idx", "role", "text", "tool"))
+            F.collect_list(F.struct(F.col("turn_idx").alias("turn_idx"), role,
+                                    F.col("text").alias("text"), tool))
         ).alias("_t")
     )
     # codegen-native field extraction, same rationale as assemble_conversations

@@ -166,10 +166,21 @@ def compute_facets(df: DataFrame, facet_cols: list[str], top_n: int = 10) -> dic
     return out
 
 
+# Types Spark defines no SortOrder for (INVALID_ORDERING_TYPE): maps,
+# variant, and the raw calendar interval — nor anything containing one.
+# getattr-gated: VariantType arrived in Spark 4.0.
+_NON_ORDERABLE = tuple(
+    t for t in (
+        T.MapType,
+        getattr(T, "VariantType", None),
+        getattr(T, "CalendarIntervalType", None),
+    ) if t is not None
+)
+
+
 def _orderable(dt: T.DataType) -> bool:
-    """Whether Spark can sort on a column of this type (maps cannot, nor
-    any type containing one)."""
-    if isinstance(dt, T.MapType):
+    """Whether Spark can sort on a column of this type."""
+    if isinstance(dt, _NON_ORDERABLE):
         return False
     if isinstance(dt, T.ArrayType):
         return _orderable(dt.elementType)
@@ -186,7 +197,8 @@ def paginate(df: DataFrame, order_col: str, offset: int, limit: int,
     so page boundaries are deterministic across the separate per-page jobs
     up to rows identical on every orderable column — a bare single-column
     sort would let a tied row land on two pages or neither (r4 review);
-    map-typed columns are skipped rather than raising AnalysisException."""
+    non-orderable (map/variant/interval-typed) columns are skipped rather
+    than raising AnalysisException."""
     base = df.select(*cols) if cols else df
     tiebreak = [
         f.name for f in base.schema.fields

@@ -261,9 +261,13 @@ def verify_gram_pairs(
             # endpoints fetched — a one-endpoint pair must drop (the old
             # double inner join semantics), not self-verify to Jaccard 1.0.
             # Presence per side, not a row count of 2: a duplicate id in
-            # ``hashed`` (a caller bug) must not silently drop the pair
+            # ``hashed`` (a caller bug) must not silently drop the pair.
+            # _nb counts NON-a rows (as verify.py/containment.py do), so a
+            # degenerate a_id == b_id candidate — where every fetched row
+            # matches both sides — fails the guard instead of emitting a
+            # Jaccard-1.0 self-pair
             F.sum((F.col("id") == F.col("a_id")).cast("int")).alias("_na"),
-            F.sum((F.col("id") == F.col("b_id")).cast("int")).alias("_nb"),
+            F.sum((F.col("id") != F.col("a_id")).cast("int")).alias("_nb"),
             F.max_by("gh", (F.col("id") == F.col("a_id")).cast("int")).alias("a_gh"),
             F.min_by("gh", (F.col("id") == F.col("a_id")).cast("int")).alias("b_gh"),
         )

@@ -405,3 +405,28 @@ def test_containment_index_stats_one_row(spark, turns_df):
         signed, max_shingle_freq=10**9
     ).first()
     assert none_hot["n_hot_shingles"] == 0 and none_hot["n_allhot_rows"] == 0
+
+
+def test_prefix_containment_builds_without_driver_jobs(spark):
+    """prefix_containment_pairs must be PURE plan construction: the short
+    legs' observed-length prune rides the plan (broadcast semi on a
+    distinct-klen subquery), never a build-time .collect() — baked length
+    literals would silently lose pairs at lengths that appear only when a
+    re-executed plan's source has changed (r4 review)."""
+    sc = spark.sparkContext
+    rows = [("i", "hello"), ("o", "hello world and a much longer tail")]
+    signed = spark.createDataFrame(rows, "conv_id string, norm_text string")
+    group = "probe-containment-lazy"
+    sc.setJobGroup(group, "plan construction must run zero jobs")
+    try:
+        pairs = containment.prefix_containment_pairs(signed, CANONICAL)
+        pairs_d = containment.prefix_containment_pairs_delta(
+            signed.limit(0), signed, CANONICAL
+        )
+    finally:
+        sc.setJobGroup("", "")
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    got = {(r["inner_id"], r["outer_id"]) for r in pairs.collect()}
+    assert got == {("i", "o")}
+    got_d = {(r["inner_id"], r["outer_id"]) for r in pairs_d.collect()}
+    assert got_d == {("i", "o")}

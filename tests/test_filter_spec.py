@@ -117,3 +117,19 @@ def test_paginate_tiebreak_deterministic_across_pages(spark):
         got += [r["tag"] for r in
                 filter_spec.paginate(df, "UID", offset=off, limit=3).collect()]
     assert got == [f"t{i:02d}" for i in range(10)]
+
+
+def test_paginate_skips_variant_tiebreak_column(spark):
+    """VariantType (Spark 4) defines no SortOrder either — paginate must
+    skip it like maps instead of raising INVALID_ORDERING_TYPE (r4 review:
+    the old _orderable only special-cased MapType)."""
+    if not hasattr(F, "parse_json"):
+        import pytest
+        pytest.skip("no VariantType on this Spark")
+    df = (
+        spark.createDataFrame([(2, "y"), (1, "x"), (3, "z")], "UID int, tag string")
+        .withColumn("v", F.parse_json(F.lit('{"k": 1}')))
+    )
+    page = filter_spec.paginate(df, "UID", offset=0, limit=2)
+    assert [r["UID"] for r in page.collect()] == [1, 2]
+    assert set(page.columns) == {"UID", "tag", "v"}

@@ -192,3 +192,19 @@ def test_verify_endpoint_guard_drops_missing_keeps_duplicate(spark):
     got = {(r["a_id"], r["b_id"]) for r in
            ngram.verify_gram_pairs(cand, dup, 9, 10).collect()}
     assert got == {("a", "b")}  # ghost dropped, dup-endpoint pair kept
+
+
+def test_verify_guard_drops_degenerate_self_pair(spark):
+    """A caller-supplied candidate with a_id == b_id explodes to rows that
+    match BOTH sides, so a >=1-per-side guard would self-verify it to
+    Jaccard 1.0; the non-a count (_nb) must drop it (r4 review: keeps the
+    three regroup guards — ngram/verify/containment — consistent)."""
+    rows = [("a", "spark shuffle partition pruning broadcast join skew"),
+            ("b", "spark shuffle partition pruning broadcast join skew")]
+    hashed = ngram.with_gram_hashes(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text", 3
+    ).select("id", "gh")
+    cand = spark.createDataFrame([("a", "a"), ("a", "b")], ["a_id", "b_id"])
+    got = {(r["a_id"], r["b_id"]) for r in
+           ngram.verify_gram_pairs(cand, hashed, 9, 10).collect()}
+    assert got == {("a", "b")}  # the (a, a) self-pair must not emit

@@ -230,3 +230,22 @@ def test_assembly_projection_is_codegen_native(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "transform(" not in plan, plan
         assert "lambdafunction" not in plan, plan
+
+
+def test_assemble_docs_accepts_minimal_turn_schema(spark):
+    """The lean path's documented shape — a (conv_id, turn_idx, text) frame
+    without role/tool, e.g. a foreachBatch source — must still assemble
+    (r4 review: unconditional role/tool refs raised UNRESOLVED_COLUMN),
+    and a full-schema frame must produce the identical doc."""
+    from bibexpy_spark.operators import assembly
+
+    full = spark.createDataFrame(
+        [("c1", 0, "u", "hi", ""), ("c1", 1, "a", "there", "")],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    lean = full.select("conv_id", "turn_idx", "text")
+    got_lean = {r["conv_id"]: r["doc"] for r in assembly.assemble_docs(lean).collect()}
+    got_full = {r["conv_id"]: r["doc"] for r in assembly.assemble_docs(full).collect()}
+    assert got_lean == got_full
+    with_opts = assembly.assemble_docs(lean, include_roles_tools=True).first()
+    assert with_opts["roles"] == " " and with_opts["tools"] == ""
