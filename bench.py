@@ -290,13 +290,19 @@ def _scaling_summary(
                 "kernel_efficiency": _eff(plo, phi, "kernel_turns_per_sec"),
             }
             # paired-cycle estimator: the leg order launches the lo and hi
-            # legs of a pair back-to-back, so the i-th run of each shares a
-            # throttle phase — the within-cycle ratio controls for the
-            # phase in a way cross-run minima cannot (minima can combine a
-            # clean hi with a throttled lo and overshoot, or vice versa)
+            # legs of a pair back-to-back, so runs at ADJACENT launch slots
+            # share a throttle phase — the within-cycle ratio controls for
+            # the phase in a way cross-run minima cannot (minima can combine
+            # a clean hi with a throttled lo and overshoot, or vice versa).
+            # Pair by recorded launch slot, never list index: a failed or
+            # budget-skipped leg would desynchronize positional zip and
+            # ratio walls from different phases (r4 review); adaptive
+            # top-up runs launch solo and correctly form no cycle
             cycles = [
                 round((lo_r["wall_s"] / hi_r["wall_s"]) / (phi / plo), 3)
-                for lo_r, hi_r in zip(runs[plo], runs[phi])
+                for lo_r in runs[plo]
+                for hi_r in runs[phi]
+                if hi_r.get("slot") == lo_r.get("slot", -2) + 1
             ]
             if cycles:
                 pairs[label]["paired_cycles"] = cycles
@@ -383,6 +389,7 @@ def main() -> None:
             return
         r["errors"] = errors
         r["at_s"] = round(time.time() - t_start, 1)  # phase forensics
+        r["slot"] = i  # launch slot: paired cycles require slot adjacency
         runs[name][c].append(r)
         print(
             f"[bench] leg {i + 1}/{total} {name} local[{c}]: "
@@ -482,11 +489,19 @@ def main() -> None:
     # primary = amortized 4x corpus (compute-dominated regime; see leg_order
     # comment), north-rule pair local[1]->local[4]; its 2->8 and 8->32
     # pairs ride along unprefixed.  2x corpus = secondary continuity series.
-    primary = per_corpus.get("xl4") or per_corpus.get("xl") or {}
+    # the published primary_corpus must name the corpus that ACTUALLY
+    # served as primary: if every xl4 leg failed and the 2x corpus takes
+    # over, labeling it "xl4" would publish 240k-conv legs under the 4x
+    # narrative and let merge_bench_sessions mix corpora (r4 review)
+    primary_name = next(
+        (n for n in ("xl4", "xl") if per_corpus.get(n)), None
+    )
+    primary = per_corpus.get(primary_name) or {}
     p_scaling = primary.get("scaling", {})
     p_pairs = dict(primary.get("pairs", {}))
-    for label, p in per_corpus.get("xl", {}).get("pairs", {}).items():
-        p_pairs.setdefault(f"xl_{label}", p)
+    if primary_name != "xl":
+        for label, p in per_corpus.get("xl", {}).get("pairs", {}).items():
+            p_pairs.setdefault(f"xl_{label}", p)
     hi = max(p_scaling) if p_scaling else None
     result = {
         "metric": "headline_queries_total",
@@ -496,12 +511,16 @@ def main() -> None:
         "query_all_runs": all_rounds,
         "headline_errors": headline_errors,
         "sf": float(sf.replace("sf", "")) if sf.startswith("sf") else sf,
-        "primary_corpus": "xl4",
+        # FAST mode runs no legs; keep the current-scheme label there so
+        # --refresh-md picks the right branch for an empty session
+        "primary_corpus": primary_name or "xl4",
         "pipeline": {f"local[{c}]": p_scaling[c] for c in p_scaling},
+        # when the 2x corpus itself is primary (xl4 fully failed), its legs
+        # live in "pipeline" only — duplicating them here would double-merge
         "pipeline_xl": {
             f"local[{c}]": v
             for c, v in per_corpus.get("xl", {}).get("scaling", {}).items()
-        },
+        } if primary_name != "xl" else {},
         "pipeline_std": {
             f"local[{c}]": v
             for c, v in per_corpus.get("std", {}).get("scaling", {}).items()

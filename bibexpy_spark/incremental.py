@@ -196,14 +196,16 @@ def run_incremental_dedup(
         if prior_turns is None:
             # contract guard: a grown conversation without its prior turns
             # cannot be re-signed — failing loudly beats entering it as a
-            # second same-id row with a different signature
-            n_grown = grown_ids.count()
-            if n_grown:
+            # second same-id row with a different signature.  isEmpty (a
+            # limit-1 probe) on the happy path; the exact count is computed
+            # only when raising (r4 review: the all-new daily delta paid a
+            # full count() aggregation here on every run)
+            if not grown_ids.isEmpty():
                 raise ValueError(
-                    f"{n_grown} delta conversation(s) already exist in "
-                    "prior_signed; pass prior_turns so they can be retracted "
-                    "and re-signed (grown-conversation contract, module "
-                    "docstring)"
+                    f"{grown_ids.count()} delta conversation(s) already exist "
+                    "in prior_signed; pass prior_turns so they can be "
+                    "retracted and re-signed (grown-conversation contract, "
+                    "module docstring)"
                 )
         else:
             # the grown-id / touched-cluster sets are delta-sized but reused

@@ -206,11 +206,22 @@ def foreach_batch_incremental_dedup(
         have_state = os.path.exists(signed_p)
         prior_s = spark.read.parquet(signed_p) if have_state else None
         prior_c = spark.read.parquet(clusters_p) if have_state else None
-        prior_t = (
-            spark.read.parquet(turns_p)
-            if have_state and os.path.exists(turns_p)
-            else None
-        )
+        if have_state and not os.path.exists(turns_p):
+            # refuse loudly rather than seed turns/ from this batch alone: a
+            # PARTIAL turns state would later let a grown conversation from
+            # before the gap re-sign over an incomplete turn set WITHOUT
+            # tripping run_incremental_dedup's no-prior-turns guard (prior
+            # turns non-None, just wrong) — silent signature corruption (r4
+            # review).  A signed/ without turns/ is a pre-turn-tracking
+            # layout; backfill turns/ with the full turn history first.
+            raise ValueError(
+                f"state dir {state_dir!r} has signed/ but no turns/ — "
+                "backfill the complete prior turn set into turns/ before "
+                "streaming (grown-conversation contract; seeding from one "
+                "batch would silently re-sign grown conversations over an "
+                "incomplete turn set)"
+            )
+        prior_t = spark.read.parquet(turns_p) if have_state else None
         prior_extra = None
         if extra_cluster_edges and have_state:
             legs = []

@@ -236,3 +236,53 @@ def test_bench_md_folds_incremental_section(tmp_path, monkeypatch):
     assert "| 1 (full->incr) | 30.0 | 6.0 | 2.0 / 2.5 | 5.0x | 6.25x |" in md
     assert "**5.0x**" in md and "median **6.25x**" in md
     assert "1200 new conversations signed" in md
+
+
+def test_paired_cycles_pair_by_launch_slot_not_index():
+    """A failed/skipped leg run must not desynchronize the paired-cycle
+    estimator: cycles pair runs at ADJACENT launch slots (the back-to-back
+    lo/hi launch sharing one throttle phase), never by list position —
+    positional zip would ratio walls from different phases and could
+    fabricate a paired_best above reality (r4 review).  Solo adaptive
+    top-up runs form no cycle."""
+    mk = lambda wall, slot: {
+        "wall_s": wall, "kernel_s": wall / 8, "slot": slot,
+        "n_turns": 1_000_000, "kernel_n_turns": 500_000,
+    }
+    runs = {
+        # cycle A: slots 0/1; cycle B's lo (slot 4) FAILED -> missing;
+        # cycle C: slots 8/9; solo top-up lo at slot 20 (no adjacent hi)
+        1: [mk(400.0, 0), mk(800.0, 8), mk(360.0, 20)],
+        4: [mk(100.0, 1), mk(205.0, 5), mk(208.0, 9)],
+        2: [], 8: [], 32: [],
+    }
+    _, pairs = bench._scaling_summary(runs)
+    got = pairs["linear_1_4"]["paired_cycles"]
+    # only (0,1) and (8,9) pair; (8, 5) and (20, anything) must not
+    assert got == [
+        pytest.approx((400.0 / 100.0) / 4, abs=1e-3),
+        pytest.approx((800.0 / 208.0) / 4, abs=1e-3),
+    ]
+    assert pairs["linear_1_4"]["paired_best"] == max(got)
+
+
+def test_merge_refuses_mismatched_kernel_slices():
+    """merge_bench_sessions must refuse (with a real raise, not an
+    -O-strippable assert) to merge legs whose kernel reference slices
+    differ — concatenated kernel minima would mix workloads (r4 review)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(bench.__file__), "tools"))
+    import merge_bench_sessions as mbs
+
+    leg = {
+        "cores": 4, "n_turns": 1_000_000, "kernel_n_turns": 500_000,
+        "wall_s": 100.0, "kernel_s": 11.0, "turns_per_sec": 10_000.0,
+        "kernel_turns_per_sec": 45_454.5, "all_runs_s": [100.0],
+        "kernel_all_runs_s": [11.0], "errors": ["none"], "n_clusters": 7,
+    }
+    other = dict(leg, kernel_n_turns=2_250_000)
+    with pytest.raises(SystemExit, match="kernel reference slices"):
+        mbs._merge_leg(leg, other)
+    with pytest.raises(SystemExit, match="different corpora"):
+        mbs._merge_leg(leg, dict(leg, n_turns=2_000_000))
+    merged = mbs._merge_leg(leg, dict(leg, wall_s=90.0, all_runs_s=[90.0]))
+    assert merged["wall_s"] == 90.0

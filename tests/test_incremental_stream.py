@@ -189,3 +189,46 @@ def test_recover_pending_swap_rolls_forward(spark, tmp_path):
     assert any(f.startswith("batch7-") for f in remap_files)
     # idempotent: a second call is a no-op
     assert istream.recover_pending_swap(state) is False
+
+
+def test_stream_refuses_signed_state_without_turns(spark, tmp_path):
+    """A state dir with signed/ but no turns/ (pre-turn-tracking layout)
+    must fail LOUDLY at the first batch instead of silently seeding a
+    partial turns state — a later grown conversation from before the gap
+    would otherwise re-sign over an incomplete turn set without tripping
+    the no-prior-turns guard (r4 review)."""
+    src = tmp_path / "feed"
+    src.mkdir()
+    state = str(tmp_path / "state")
+
+    all_path = corpus.corpus_path_for_sf("/root/testdata/sf0.001")
+    turns = spark.read.parquet(all_path)
+    keep = F.abs(F.xxhash64("conv_id")) % 10
+    turns.filter(keep == 0).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "d0")
+    )
+    import glob
+    import shutil
+
+    shutil.copy(
+        glob.glob(str(tmp_path / "d0" / "part-*.parquet"))[0],
+        str(src / "delta_0.parquet"),
+    )
+    # forge the legacy layout: signed/ + clusters/ present, turns/ absent
+    from bibexpy_spark import incremental as inc
+
+    res = inc.run_incremental_dedup(
+        spark, turns.filter(keep == 1), None, None
+    )
+    os.makedirs(state, exist_ok=True)
+    res["signed_new"].write.parquet(os.path.join(state, "signed"))
+    res["clusters"].write.parquet(os.path.join(state, "clusters"))
+    res["cleanup"]()
+
+    q = istream.foreach_batch_incremental_dedup(
+        spark, str(src), state, max_files_per_trigger=1
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="no turns/"):
+        q.awaitTermination(300)

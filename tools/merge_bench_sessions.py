@@ -26,8 +26,25 @@ import sys
 
 
 def _merge_leg(a: dict, b: dict) -> dict:
-    assert a["cores"] == b["cores"]
-    assert a["n_turns"] == b["n_turns"], "legs ran different corpora"
+    # explicit raises, not asserts: these are the file's core identity
+    # guards (refusing cross-corpus / cross-kernel-slice merges) and must
+    # survive python -O (r4 review)
+    if a["cores"] != b["cores"]:
+        raise SystemExit(
+            f"core-count mismatch: local[{a['cores']}] vs local[{b['cores']}]"
+        )
+    if a["n_turns"] != b["n_turns"]:
+        raise SystemExit(
+            f"legs ran different corpora at local[{a['cores']}]: "
+            f"{a['n_turns']} vs {b['n_turns']} turns — pre/post primary-"
+            "promotion sessions must not merge"
+        )
+    if a.get("kernel_n_turns") != b.get("kernel_n_turns"):
+        raise SystemExit(
+            f"kernel reference slices differ at local[{a['cores']}]: "
+            f"{a.get('kernel_n_turns')} vs {b.get('kernel_n_turns')} turns — "
+            "kernel minima would mix different workloads"
+        )
     out = dict(a)
     out["all_runs_s"] = a["all_runs_s"] + b["all_runs_s"]
     out["kernel_all_runs_s"] = a["kernel_all_runs_s"] + b["kernel_all_runs_s"]
