@@ -570,10 +570,12 @@ def _scaling_table(scaling: dict, pairs: dict) -> list[str]:
             "(phase = session-best kernel at that core count / this leg's",
             "best kernel; 1.0 = at least one run saw the cleanest phase the",
             "session observed, lower = every run was throttled.  Paired",
-            "cycles = within-cycle wall ratio of the back-to-back lo/hi legs",
-            "— each cycle shares a throttle phase, so it cannot combine a",
-            "clean numerator with a throttled denominator the way cross-run",
-            "minima can; best-cycle is the capability estimate.)",
+            "cycles = within-cycle wall ratio of the back-to-back lo/hi legs,",
+            "matched by launch slot — a failed or skipped run drops its cycle",
+            "instead of pairing walls from different phases.  Each cycle",
+            "shares a throttle phase, so it cannot combine a clean numerator",
+            "with a throttled denominator the way cross-run minima can;",
+            "best-cycle is the capability estimate.)",
             "",
             "| pair | end-to-end efficiency (minima) | kernel efficiency | paired cycles | best cycle |",
             "|---|---|---|---|---|",
