@@ -29,6 +29,7 @@ def assemble(
     corpus_name: str, lo: int, hi: int, leg_paths: list[str]
 ) -> dict:
     runs: dict[int, list[dict]] = {lo: [], hi: []}
+    ordered: list[dict] = []
     for p in leg_paths:
         r = json.load(open(p))
         err_path = os.path.splitext(p)[0] + ".stderr"
@@ -37,14 +38,22 @@ def assemble(
         )
         if r["cores"] not in runs:
             raise SystemExit(f"{p}: cores={r['cores']} not in pair ({lo},{hi})")
+        r["_path"] = p
         runs[r["cores"]].append(r)
+        ordered.append(r)
+    # one corpus, one kernel slice per session — a mixed file list would
+    # produce meaningless minima (same guard class as merge_bench_sessions)
+    for key in ("n_turns", "kernel_n_turns"):
+        vals = {r.get(key) for r in ordered}
+        if len(vals) > 1:
+            raise SystemExit(f"legs disagree on {key}: {sorted(vals)}")
 
     legs: dict[str, dict] = {}
     for c, rs in runs.items():
         if not rs:
             continue
         best = min(rs, key=lambda r: r["wall_s"])
-        s = dict(best)
+        s = {k: v for k, v in best.items() if k != "_path"}
         s["all_runs_s"] = [r["wall_s"] for r in rs]
         s["kernel_all_runs_s"] = [r["kernel_s"] for r in rs]
         s["kernel_s"] = min(s["kernel_all_runs_s"])
@@ -57,9 +66,26 @@ def assemble(
 
     label = f"linear_{lo}_{hi}" if hi == 4 * lo else f"pair_{lo}_{hi}"
     pair: dict = {}
+    # a cycle = an ADJACENT (lo, hi) file pair in CLI order — the estimator's
+    # phase-sharing premise.  Enforce strict alternation rather than zipping
+    # the per-level lists: with a dropped leg file, positional zip would
+    # silently ratio walls from different cycles/phases (r4 review)
+    for i in range(0, len(ordered) - 1, 2):
+        a, b = ordered[i], ordered[i + 1]
+        if a["cores"] != lo or b["cores"] != hi:
+            raise SystemExit(
+                f"leg files must alternate lo,hi,lo,hi — position {i} is "
+                f"({a['_path']}: local[{a['cores']}], {b['_path']}: "
+                f"local[{b['cores']}]); drop BOTH legs of an incomplete cycle"
+            )
+    if len(ordered) % 2:
+        raise SystemExit(
+            f"odd leg count ({len(ordered)}): {ordered[-1]['_path']} has no "
+            "cycle mate — drop it or supply its pair"
+        )
     cycles = [
-        round((lo_r["wall_s"] / hi_r["wall_s"]) / (hi / lo), 3)
-        for lo_r, hi_r in zip(runs[lo], runs[hi])
+        round((ordered[i]["wall_s"] / ordered[i + 1]["wall_s"]) / (hi / lo), 3)
+        for i in range(0, len(ordered) - 1, 2)
     ]
     if cycles:
         pair["paired_cycles"] = cycles
