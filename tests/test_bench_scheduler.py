@@ -286,3 +286,49 @@ def test_merge_refuses_mismatched_kernel_slices():
         mbs._merge_leg(leg, dict(leg, n_turns=2_000_000))
     merged = mbs._merge_leg(leg, dict(leg, wall_s=90.0, all_runs_s=[90.0]))
     assert merged["wall_s"] == 90.0
+
+
+def _write_leg(tmp_path, name, cores, wall, kernel, n=1000, kn=500):
+    import json
+
+    p = tmp_path / name
+    p.write_text(json.dumps({
+        "cores": cores, "wall_s": wall, "kernel_s": kernel,
+        "n_turns": n, "kernel_n_turns": kn,
+    }))
+    return str(p)
+
+
+def test_assemble_leg_session_slot_pairing_and_guards(tmp_path):
+    """assemble_leg_session pairs cycles from ADJACENT alternating CLI
+    files and hard-refuses misordered, odd-count, or mixed-corpus lists —
+    a dropped leg must never silently ratio walls across cycles (r4
+    review, same class as the bench._scaling_summary slot fix)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(bench.__file__), "tools"))
+    import assemble_leg_session as als
+
+    a1 = _write_leg(tmp_path, "a1.json", 1, 100.0, 40.0)
+    a4 = _write_leg(tmp_path, "a4.json", 4, 27.0, 10.5)
+    b1 = _write_leg(tmp_path, "b1.json", 1, 90.0, 38.0)
+    b4 = _write_leg(tmp_path, "b4.json", 4, 26.0, 10.0)
+
+    out = als.assemble("xl4", 1, 4, [a1, a4, b1, b4])
+    legs = out["pipeline"]
+    assert legs["local[1]"]["wall_s"] == 90.0
+    assert legs["local[4]"]["all_runs_s"] == [27.0, 26.0]
+    assert "_path" not in legs["local[1]"]
+    pair = out["scaling_pairs"]["linear_1_4"]
+    assert pair["paired_cycles"] == [
+        pytest.approx((100.0 / 27.0) / 4, abs=1e-3),
+        pytest.approx((90.0 / 26.0) / 4, abs=1e-3),
+    ]
+    # uncaptured stderr is labeled, not invented
+    assert legs["local[1]"]["errors"] == ["uncaptured"]
+
+    with pytest.raises(SystemExit, match="alternate"):
+        als.assemble("xl4", 1, 4, [a1, b1, a4, b4])
+    with pytest.raises(SystemExit, match="no .*cycle mate|cycle mate"):
+        als.assemble("xl4", 1, 4, [a1, a4, b1])
+    c4 = _write_leg(tmp_path, "c4.json", 4, 26.0, 10.0, n=2000)
+    with pytest.raises(SystemExit, match="disagree on n_turns"):
+        als.assemble("xl4", 1, 4, [a1, c4])
