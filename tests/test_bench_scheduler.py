@@ -332,3 +332,94 @@ def test_assemble_leg_session_slot_pairing_and_guards(tmp_path):
     c4 = _write_leg(tmp_path, "c4.json", 4, 26.0, 10.0, n=2000)
     with pytest.raises(SystemExit, match="disagree on n_turns"):
         als.assemble("xl4", 1, 4, [a1, c4])
+
+
+def _publish_session(value=10.0, wall1=400.0, wall4=115.0, k1=50.0, k4=13.5):
+    lin = {
+        "efficiency": round(wall1 / (4 * wall4), 3),
+        "kernel_efficiency": round(k1 / (4 * k4), 3),
+        "paired_cycles": [round(wall1 / wall4 / 4, 3)],
+        "paired_best": round(wall1 / wall4 / 4, 3),
+    }
+    return {
+        "metric": "headline_queries_total", "value": value, "unit": "sec",
+        "sf": 0.1, "primary_corpus": "xl4",
+        "queries": {"t_assemble": value},
+        "query_all_runs": {"t_assemble": [value]},
+        "headline_errors": ["none"],
+        "pipeline": {"local[1]": _leg_entry(1, wall1, k1),
+                     "local[4]": _leg_entry(4, wall4, k4)},
+        "scaling_pairs": {"linear_1_4": lin},
+        "scaling_efficiency": lin["efficiency"],
+        "kernel_scaling_efficiency": lin["kernel_efficiency"],
+        "pipeline_xl": {}, "pipeline_std": {}, "scaling_pairs_std": {},
+    }
+
+
+def test_publish_folds_fresh_session_into_record(tmp_path, monkeypatch):
+    """A full bench run merges its legs into the cross-session record:
+    minima concatenate (a throttled round-end session cannot clobber the
+    accumulated evidence), paired cycles append, the record file is
+    updated in place, and the published dict keeps the fresh session's
+    own numbers under fresh_session."""
+    import json
+
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    record = tmp_path / "record.json"
+    # prior record: clean phase (fast walls); fresh session: throttled 2x
+    record.write_text(json.dumps(_publish_session(value=8.0)))
+    fresh = _publish_session(value=16.0, wall1=900.0, wall4=260.0,
+                             k1=100.0, k4=27.0)
+    pub = bench._publish(fresh, bench._session_per_corpus(fresh),
+                         str(record))
+    # minima come from the prior (clean) session
+    assert pub["pipeline"]["local[1]"]["wall_s"] == 400.0
+    assert pub["pipeline"]["local[1]"]["all_runs_s"] == [400.0, 900.0]
+    assert pub["value"] == 8.0                      # headline minima merge
+    assert pub["merged_sessions"] == 2
+    # pair efficiency recomputed from merged minima, cycles concatenated
+    lin = pub["scaling_pairs"]["linear_1_4"]
+    assert lin["efficiency"] == round(400.0 / (4 * 115.0), 3)
+    assert len(lin["paired_cycles"]) == 2
+    # the fresh session's own numbers stay visible
+    assert pub["fresh_session"]["value"] == 16.0
+    assert pub["fresh_session"]["paired_cycles"] == fresh[
+        "scaling_pairs"]["linear_1_4"]["paired_cycles"]
+    # record updated in place; BENCH.md written from the merged view
+    on_disk = json.loads(record.read_text())
+    assert on_disk["merged_sessions"] == 2
+    assert "| local[1] | 400.0 |" in (tmp_path / "BENCH.md").read_text()
+
+
+def test_publish_merge_failure_never_clobbers_record(tmp_path, monkeypatch):
+    """An incompatible record (e.g. a corpus-scheme change makes n_turns
+    disagree) falls back to publishing the fresh session alone and leaves
+    the accumulated record untouched."""
+    import json
+
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    record = tmp_path / "record.json"
+    prior = _publish_session(value=8.0)
+    prior["pipeline"]["local[1]"]["n_turns"] = 999  # mismatched corpus
+    record.write_text(json.dumps(prior))
+    before = record.read_text()
+    fresh = _publish_session(value=16.0)
+    pub = bench._publish(fresh, bench._session_per_corpus(fresh),
+                         str(record))
+    assert pub is fresh and "fresh_session" not in pub
+    assert record.read_text() == before            # record untouched
+    # BENCH.md still written (from the fresh session)
+    assert "| local[1] | 400.0 |" in (tmp_path / "BENCH.md").read_text()
+
+
+def test_publish_creates_record_on_fresh_checkout(tmp_path, monkeypatch):
+    """With no record yet, the fresh session becomes the record."""
+    import json
+
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    record = tmp_path / "record.json"
+    fresh = _publish_session(value=16.0)
+    pub = bench._publish(fresh, bench._session_per_corpus(fresh),
+                         str(record))
+    assert pub is fresh
+    assert json.loads(record.read_text())["value"] == 16.0
