@@ -697,15 +697,18 @@ def _write_bench_md(result, per_corpus) -> None:
     std_sc = per_corpus.get("std", {}).get("scaling") or {}
     xl4_sc = per_corpus.get("xl4", {}).get("scaling") or {}
     weak_rows = []
+    weak_effs: dict[str, float] = {}
     for lo, hi in ((1, 4), (2, 8), (8, 32)):
         a, b = std_sc.get(lo), xl4_sc.get(hi)
         if not (a and b):
             continue
         ratio = b["n_turns"] / a["n_turns"]
+        weff = round(a["wall_s"] / b["wall_s"] * (ratio / (hi / lo)), 3)
+        weak_effs[f"{lo}->{hi}"] = weff
         weak_rows.append(
             f"| local[{lo}] @ {a['n_turns']} | local[{hi}] @ {b['n_turns']} "
             f"| {a['wall_s']} | {b['wall_s']} "
-            f"| {round(a['wall_s'] / b['wall_s'] * (ratio / (hi / lo)), 3)} |"
+            f"| {weff} |"
         )
     if weak_rows:
         lines += [
@@ -725,13 +728,18 @@ def _write_bench_md(result, per_corpus) -> None:
             "|---|---|---|---|---|",
             *weak_rows,
             "",
-            "Reading: 1->4 and 2->8 hold at or near 1.0 — quadrupling data",
-            "and cores together keeps the wall flat, which is the Gustafson",
-            "form of the north rule's N-vs-4N criterion.  8->32 collapses",
-            "for the same substrate reason as every 32-thread number here:",
-            "the VM exposes 32 threads but ~13-16 effective cores and one",
-            "memory bus (host baseline: the no-Spark kernel gets 1.69x from",
-            "8->32 workers of an ideal 4x).",
+            "Reading: "
+            + "; ".join(f"{k} measures {v}" for k, v in weak_effs.items())
+            + " — 1.0 = quadrupling data and cores together keeps the",
+            "wall flat, the Gustafson form of the north rule's N-vs-4N",
+            "criterion.  1->4 is the pair whose 4N cores physically exist",
+            "on this VM; 2->8 tracks the substrate's own ~0.83-of-ideal",
+            "ceiling there, and both legs being cross-session minima makes",
+            "the estimator conservative (a cleaner lo-leg phase lowers the",
+            "ratio).  8->32 collapses for the same substrate reason as",
+            "every 32-thread number here: the VM exposes 32 threads but",
+            "~13-16 effective cores and one memory bus (host baseline: the",
+            "no-Spark kernel gets 1.69x from 8->32 workers of an ideal 4x).",
         ]
 
     hb_path = os.path.join(REPO, "data", "host_baseline.json")
