@@ -97,6 +97,22 @@ def classify_stderr(path: str) -> str:
     return ",".join(found) if found else "none"
 
 
+PHASE_FLIP_TOL = 1.05  # paired-cycle ceiling before it reads as a mid-leg
+#                        phase flip rather than scaling
+
+
+def paired_best(cycles: list) -> float | None:
+    """Capability estimate from paired cycles.  The paired estimator
+    assumes both legs of a cycle share one host throttle phase; a cycle
+    measuring above PHASE_FLIP_TOL broke that assumption mid-leg (the lo
+    leg throttled while the hi leg ran clean — superlinear N->4N scaling
+    is not physically available on one host).  Such cycles stay listed in
+    paired_cycles as evidence of the flip but are excluded from the
+    best-cycle capability claim."""
+    ok = [c for c in cycles if c <= PHASE_FLIP_TOL]
+    return max(ok) if ok else None
+
+
 def _force(df) -> int:
     """Fully materialize a DataFrame without driver-side collect."""
     df.write.format("noop").mode("overwrite").save()
@@ -311,7 +327,9 @@ def _scaling_summary(
             ]
             if cycles:
                 pairs[label]["paired_cycles"] = cycles
-                pairs[label]["paired_best"] = max(cycles)
+                pb = paired_best(cycles)
+                if pb is not None:
+                    pairs[label]["paired_best"] = pb
     return scaling, pairs
 
 
@@ -584,7 +602,11 @@ def _scaling_table(scaling: dict, pairs: dict) -> list[str]:
             "instead of pairing walls from different phases.  Each cycle",
             "shares a throttle phase, so it cannot combine a clean numerator",
             "with a throttled denominator the way cross-run minima can;",
-            "best-cycle is the capability estimate.)",
+            "best-cycle is the capability estimate.  A cycle measuring",
+            f"above {PHASE_FLIP_TOL} broke the shared-phase assumption",
+            "mid-leg — the lo leg throttled while the hi leg ran clean;",
+            "superlinear N->4N is not physically available on one host —",
+            "so it stays listed but is excluded from best-cycle.)",
             "",
             "| pair | end-to-end efficiency (minima) | kernel efficiency | paired cycles | best cycle |",
             "|---|---|---|---|---|",
@@ -642,9 +664,11 @@ def _write_bench_md(result, per_corpus) -> None:
             "of its local[4] wall → clean-phase cycles read ~0.75 there even",
             "though the plan is unchanged) and made the 4x local[1] leg",
             "measurable under a minima protocol (~7-10 min — what the 2x",
-            "leg cost before the speedups).  2→8 on the same corpus is",
-            "substrate-capped: the host itself delivers only ~0.78-0.83 of",
-            "the 4x ideal on these kernels WITHOUT Spark (baseline below).",
+            "leg cost before the speedups).  2→8 on the same corpus runs",
+            "near the substrate ceiling: the host itself delivers only",
+            "~0.78-0.83 of the 4x ideal on these kernels WITHOUT Spark",
+            "(baseline below), so clean 2→8 cycles at/above 0.8 mean the",
+            "plan loses essentially nothing to Spark on that step.",
             "8→32 is the driver-instructed proxy and mostly measures the",
             "VM's effective-core ceiling.  On a real multi-executor cluster",
             "every executor brings its own memory bus; nothing in the DAG",

@@ -266,6 +266,41 @@ def test_paired_cycles_pair_by_launch_slot_not_index():
     assert pairs["linear_1_4"]["paired_best"] == max(got)
 
 
+def test_paired_best_excludes_phase_flip_cycles():
+    """A paired cycle above PHASE_FLIP_TOL broke the shared-phase
+    assumption mid-leg (throttled lo / clean hi -> spurious superlinear
+    ratio, observed live as a 1.351 '2->8 cycle' in r4c3 cycle 8).  It
+    must stay listed in paired_cycles as evidence but never become the
+    best-cycle capability claim — in the summary, the merge tool, and
+    the leg assembler alike."""
+    assert bench.paired_best([0.7, 1.351, 0.853]) == 0.853
+    assert bench.paired_best([1.007]) == 1.007       # noise-level >1 kept
+    assert bench.paired_best([1.351]) is None        # all cycles flipped
+
+    mk = lambda wall, slot: {
+        "wall_s": wall, "kernel_s": wall / 8, "slot": slot,
+        "n_turns": 1_000_000, "kernel_n_turns": 500_000,
+    }
+    runs = {
+        # cycle A clean (eff 0.85); cycle B phase-flipped (eff 1.4)
+        2: [mk(340.0, 0), mk(560.0, 2)],
+        8: [mk(100.0, 1), mk(100.0, 3)],
+        1: [], 4: [], 32: [],
+    }
+    _, pairs = bench._scaling_summary(runs)
+    lin = pairs["linear_2_8"]
+    assert lin["paired_cycles"] == [0.85, 1.4]
+    assert lin["paired_best"] == 0.85
+
+    sys.path.insert(0, os.path.join(os.path.dirname(bench.__file__), "tools"))
+    from merge_bench_sessions import _merge_pairs
+    merged = _merge_pairs(
+        {"linear_2_8": {"paired_cycles": [0.7], "paired_best": 0.7}},
+        {"linear_2_8": {"paired_cycles": [1.4]}},
+    )
+    assert merged["linear_2_8"]["paired_best"] == 0.7
+
+
 def test_merge_refuses_mismatched_kernel_slices():
     """merge_bench_sessions must refuse (with a real raise, not an
     -O-strippable assert) to merge legs whose kernel reference slices

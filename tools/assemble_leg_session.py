@@ -22,7 +22,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import classify_stderr  # noqa: E402
+from bench import classify_stderr, paired_best  # noqa: E402
 
 
 def assemble(
@@ -89,7 +89,9 @@ def assemble(
     ]
     if cycles:
         pair["paired_cycles"] = cycles
-        pair["paired_best"] = max(cycles)
+        best = paired_best(cycles)
+        if best is not None:
+            pair["paired_best"] = best
     if f"local[{lo}]" in legs and f"local[{hi}]" in legs:
         pair["efficiency"] = round(
             legs[f"local[{lo}]"]["wall_s"]

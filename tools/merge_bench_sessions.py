@@ -22,7 +22,12 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import paired_best  # noqa: E402
 
 
 def _merge_leg(a: dict, b: dict) -> dict:
@@ -74,7 +79,11 @@ def _merge_pairs(a: dict, b: dict) -> dict:
         out[label] = dict(pa)
         if cycles:
             out[label]["paired_cycles"] = cycles
-            out[label]["paired_best"] = max(cycles)
+            best = paired_best(cycles)
+            if best is not None:
+                out[label]["paired_best"] = best
+            else:
+                out[label].pop("paired_best", None)
     return out
 
 
