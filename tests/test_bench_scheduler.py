@@ -458,3 +458,25 @@ def test_publish_creates_record_on_fresh_checkout(tmp_path, monkeypatch):
                          str(record))
     assert pub is fresh
     assert json.loads(record.read_text())["value"] == 16.0
+
+
+def test_merge_publishes_best_throughput_leg_not_highest_core():
+    """throughput_turns_per_sec must come from the best-throughput leg:
+    on this VM local[32] is SLOWER than local[8] (effective-core ceiling),
+    and the metric is throughput, not core count (r4 review)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(bench.__file__), "tools"))
+    import merge_bench_sessions as mbs
+
+    session = {
+        "pipeline": {
+            "local[8]": _leg_entry(8, 20.0, 2.0),     # 50k turns/s
+            "local[32]": _leg_entry(32, 40.0, 1.8),   # 25k turns/s
+        },
+        "scaling_pairs": {},
+        "scaling_pairs_std": {},
+    }
+    merged = mbs.merge([session])
+    assert merged["throughput_turns_per_sec"] == session["pipeline"][
+        "local[8]"
+    ]["turns_per_sec"]
+    assert merged["throughput_level"] == "local[8]"

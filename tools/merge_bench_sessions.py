@@ -173,8 +173,11 @@ def merge(sessions: list[dict]) -> dict:
     out["kernel_scaling_efficiency"] = lin.get("kernel_efficiency")
     prim = out.get("pipeline") or {}
     if prim:
-        hi = max(prim, key=lambda s: int(s[len("local["):-1]))
-        out["throughput_turns_per_sec"] = prim[hi]["turns_per_sec"]
+        # best across legs, not highest-core: local[32] is slower than
+        # local[8] on this VM, and the metric is throughput
+        best = max(prim, key=lambda s: prim[s]["turns_per_sec"])
+        out["throughput_turns_per_sec"] = prim[best]["turns_per_sec"]
+        out["throughput_level"] = best
     out["merged_sessions"] = sum(
         s.get("merged_sessions", 1) for s in sessions
     )
