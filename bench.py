@@ -1058,7 +1058,22 @@ def _publish(result: dict, per_corpus: dict, record_path: str) -> dict:
         _write_bench_md(result, per_corpus)
     # persist the merged record (or create one on a fresh checkout) so
     # evidence keeps accumulating; a FAILED merge must never overwrite
-    # the accumulated record with a single session
+    # the accumulated record with a single session.  A degraded session
+    # (primary_corpus != the canonical xl4 scheme — every xl4 leg failed
+    # and main() fell back to the 2x corpus) must also never CREATE the
+    # record: a fallback-scheme record would reject every future healthy
+    # session's merge and silently freeze evidence accumulation (r4
+    # review)
+    if result.get("primary_corpus") != "xl4" and not os.path.exists(
+        record_path
+    ):
+        print(
+            "[bench] fallback-scheme session (primary_corpus="
+            f"{result.get('primary_corpus')}) — not creating the "
+            "cross-session record from it",
+            file=sys.stderr, flush=True,
+        )
+        return published
     if published is not result or not os.path.exists(record_path):
         tmp = record_path + ".tmp"
         with open(tmp, "w") as f:

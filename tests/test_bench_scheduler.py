@@ -480,3 +480,84 @@ def test_merge_publishes_best_throughput_leg_not_highest_core():
         "local[8]"
     ]["turns_per_sec"]
     assert merged["throughput_level"] == "local[8]"
+
+
+def test_merge_refuses_disjoint_level_corpus_mixing():
+    """A record whose pipeline holds corpus-A legs at some levels must not
+    silently adopt corpus-B legs at DISJOINT levels — the per-level n_turns
+    guard never fires there, so merge() checks representative corpus sizes
+    and the session scheme label up front (r4 review)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(bench.__file__), "tools"))
+    import merge_bench_sessions as mbs
+
+    a = {
+        "primary_corpus": "xl4",
+        "pipeline": {"local[1]": _leg_entry(1, 400.0, 30.0)},
+        "scaling_pairs": {}, "scaling_pairs_std": {},
+    }
+    b_legs = {"local[8]": dict(_leg_entry(8, 30.0, 4.0), n_turns=2_000_000)}
+    with pytest.raises(SystemExit, match="different corpora"):
+        mbs.merge([a, {
+            "primary_corpus": "xl4", "pipeline": b_legs,
+            "scaling_pairs": {}, "scaling_pairs_std": {},
+        }])
+    with pytest.raises(SystemExit, match="schemes differ"):
+        mbs.merge([a, {
+            "primary_corpus": "xl", "pipeline": {},
+            "scaling_pairs": {}, "scaling_pairs_std": {},
+        }])
+
+
+def test_merge_refilters_one_sided_legacy_paired_best():
+    """A pair label present in only ONE session may carry a paired_best
+    computed before the PHASE_FLIP_TOL exclusion; merge must recompute it
+    from the cycles so a super-unity phase-flip cycle is never republished
+    as the capability claim (r4 review)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(bench.__file__), "tools"))
+    import merge_bench_sessions as mbs
+
+    legacy = {"paired_cycles": [1.351, 0.74], "paired_best": 1.351}
+    merged = mbs._merge_pairs({}, {"xl_linear_2_8": legacy})
+    assert merged["xl_linear_2_8"]["paired_best"] == 0.74
+    only_flips = mbs._merge_pairs({"p": {"paired_cycles": [1.4],
+                                         "paired_best": 1.4}}, {})
+    assert "paired_best" not in only_flips["p"]
+
+
+def test_publish_fallback_scheme_never_creates_record(tmp_path, monkeypatch):
+    """A degraded session (every xl4 leg failed, primary fell back to the
+    2x corpus) must not CREATE the cross-session record: that record would
+    reject every future healthy xl4 session and freeze evidence
+    accumulation (r4 review)."""
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    record = tmp_path / "record.json"
+    fresh = _publish_session(value=16.0)
+    fresh["primary_corpus"] = "xl"
+    pub = bench._publish(fresh, bench._session_per_corpus(fresh),
+                         str(record))
+    assert pub is fresh
+    assert not record.exists()
+    # BENCH.md still written from the fresh session
+    assert (tmp_path / "BENCH.md").exists()
+
+
+def test_assemble_guard_reports_missing_kernel_key(tmp_path):
+    """Mixing a pre-kernel-slice leg file (no kernel_n_turns) with a
+    current one must produce the diagnostic SystemExit, not a TypeError
+    from sorting None against int (r4 review)."""
+    import json as _json
+
+    sys.path.insert(0, os.path.join(os.path.dirname(bench.__file__), "tools"))
+    import assemble_leg_session as als
+
+    p1 = tmp_path / "lo.json"
+    p1.write_text(_json.dumps({
+        "cores": 2, "wall_s": 100.0, "kernel_s": 10.0,
+        "n_turns": 1000, "kernel_n_turns": 500,
+    }))
+    p2 = tmp_path / "hi.json"
+    p2.write_text(_json.dumps({
+        "cores": 8, "wall_s": 30.0, "kernel_s": 3.0, "n_turns": 1000,
+    }))
+    with pytest.raises(SystemExit, match="legs disagree on kernel_n_turns"):
+        als.assemble("xl4", 2, 8, [str(p1), str(p2)])

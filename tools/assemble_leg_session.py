@@ -46,7 +46,11 @@ def assemble(
     for key in ("n_turns", "kernel_n_turns"):
         vals = {r.get(key) for r in ordered}
         if len(vals) > 1:
-            raise SystemExit(f"legs disagree on {key}: {sorted(vals)}")
+            # key=repr: a leg file missing the key contributes None, which
+            # must render in the diagnostic, not raise TypeError in sorted
+            raise SystemExit(
+                f"legs disagree on {key}: {sorted(vals, key=repr)}"
+            )
 
     legs: dict[str, dict] = {}
     for c, rs in runs.items():

@@ -79,11 +79,20 @@ def _merge_pairs(a: dict, b: dict) -> dict:
         out[label] = dict(pa)
         if cycles:
             out[label]["paired_cycles"] = cycles
+    # recompute paired_best for EVERY label, one-sided included: a label
+    # present in only one session may carry a legacy best computed before
+    # the PHASE_FLIP_TOL exclusion and must not republish a super-unity
+    # cycle as the capability claim (r4 review)
+    for label, p in out.items():
+        cycles = p.get("paired_cycles", [])
+        if cycles:
             best = paired_best(cycles)
             if best is not None:
-                out[label]["paired_best"] = best
+                out[label] = dict(p, paired_best=best)
             else:
-                out[label].pop("paired_best", None)
+                out[label] = {
+                    k: v for k, v in p.items() if k != "paired_best"
+                }
     return out
 
 
@@ -98,9 +107,28 @@ PIPE_KEYS = ["pipeline", "pipeline_xl", "pipeline_xl4", "pipeline_std"]
 def merge(sessions: list[dict]) -> dict:
     out = dict(sessions[0])
     for nxt in sessions[1:]:
+        # scheme guard: the n_turns check in _merge_leg only fires on
+        # OVERLAPPING core levels — disjoint levels from different corpora
+        # would silently co-mingle under one pipeline key (r4 review), so
+        # refuse mismatched schemes and representative corpus sizes up front
+        pa, pb = out.get("primary_corpus"), nxt.get("primary_corpus")
+        if pa and pb and pa != pb:
+            raise SystemExit(
+                f"session schemes differ: primary_corpus {pa} vs {pb} — "
+                "pre/post primary-promotion (or xl-fallback) sessions must "
+                "not merge"
+            )
         # scaling legs
         for key in PIPE_KEYS:
             legs_a, legs_b = out.get(key) or {}, nxt.get(key) or {}
+            na = {leg["n_turns"] for leg in legs_a.values()}
+            nb = {leg["n_turns"] for leg in legs_b.values()}
+            if na and nb and na != nb:
+                raise SystemExit(
+                    f"{key}: sessions ran different corpora "
+                    f"({sorted(na)} vs {sorted(nb)} turns) — refusing to "
+                    "co-mingle legs even on disjoint core levels"
+                )
             merged = dict(legs_a)
             for lvl, leg in legs_b.items():
                 merged[lvl] = (
