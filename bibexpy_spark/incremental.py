@@ -188,6 +188,17 @@ def run_incremental_dedup(
     resigned_ids: DataFrame | None = None
     prior_signed_orig = prior_signed
     sign_input = new_turns
+    if prior_signed is not None and prior_clusters is None:
+        # contract guard (r4 review): with prior_signed but no
+        # prior_clusters, the old corpus's assignments cannot be carried —
+        # the emitted "clusters" would silently omit every quiet old
+        # conversation.  Failing loudly mirrors the prior_turns guard.
+        raise ValueError(
+            "prior_signed was provided without prior_clusters; the full "
+            "updated assignment cannot be produced without the prior "
+            "cluster table (it would silently drop every old conversation "
+            "untouched by this delta)"
+        )
     if prior_signed is not None:
         grown_ids = (
             new_turns.select("conv_id").distinct()

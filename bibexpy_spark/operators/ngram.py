@@ -109,11 +109,19 @@ def gram_jaccard_pairs(
     t_den: int,
     df_cap: int = 1000,
     candidates: str = "prefix",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Pairs with exact gram-Jaccard >= t_num/t_den.
 
     Output: a_id, b_id, inter, union_n, jaccard — identical to the all-pairs
     definition (see module docstring for the losslessness argument).
+
+    ``cache_registry``: the operator persists its gram-hash frame (and the
+    rare index in rare_index mode) — the widest frames of the job.  A
+    long-lived session looping this operator must release them: pass a
+    list and unpersist its entries after materializing the result (the
+    pattern incremental.run_incremental_dedup exposes via its cleanup
+    hook; r4 review).
 
     ``candidates`` selects the phase-1 plan:
 
@@ -139,6 +147,8 @@ def gram_jaccard_pairs(
     # gram identities as longs from the start (with_gram_hashes: per-token
     # xxhash64 + chained fold — no gram-string allocation on the hot path)
     hashed = with_gram_hashes(df, id_col, text_col, k).persist()
+    if cache_registry is not None:
+        cache_registry.append(hashed)
 
     if candidates == "prefix":
         ex = hashed.select(
@@ -206,6 +216,8 @@ def gram_jaccard_pairs(
     freq = ex.groupBy("h").agg(F.count("*").alias("df"))
     with_df = ex.join(freq, "h")
     rare = with_df.filter(F.col("df") <= df_cap).select("id", "h").persist()
+    if cache_registry is not None:
+        cache_registry.append(rare)
 
     # all-hot fallback (ADVICE r1): a row whose EVERY gram has df > df_cap
     # (>df_cap identical boilerplate copies) would vanish from the index —
@@ -278,7 +290,11 @@ def verify_gram_pairs(
         .filter(F.least("a_n", "b_n") * t_den >= F.greatest("a_n", "b_n") * t_num)
         .withColumn("inter", F.size(F.array_intersect("a_gh", "b_gh")).cast("long"))
         .withColumn("union_n", (F.col("a_n") + F.col("b_n")).cast("long") - F.col("inter"))
-        .filter(F.col("inter") * t_den >= F.col("union_n") * t_num)
+        # union_n > 0: two empty gram arrays must not pass 0 >= 0 as a dup
+        .filter(
+            (F.col("union_n") > 0)
+            & (F.col("inter") * t_den >= F.col("union_n") * t_num)
+        )
     )
     return j.select(
         "a_id",
@@ -290,15 +306,21 @@ def verify_gram_pairs(
 
 
 def prefix_index_stats(
-    df: DataFrame, id_col: str, text_col: str, k: int, t_num: int, t_den: int
+    df: DataFrame, id_col: str, text_col: str, k: int, t_num: int, t_den: int,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Prefix-index metrics (never-silent contract for the default plan):
     one row with n_gram_rows (full exploded volume), n_prefix_rows (what
     actually enters the candidate join), prefix_fraction, and max_prefix_df
     — a high max_prefix_df means boilerplate grams are reaching prefixes
     (docs whose rarest grams are still ubiquitous) and candidate volume may
-    grow toward the df² worst case."""
-    hashed = with_gram_hashes(df, id_col, text_col, k)
+    grow toward the df² worst case.
+
+    ``hashed``: pass the (persisted) with_gram_hashes frame a companion
+    gram_jaccard_pairs call already built — the gram stage is the job's
+    most expensive pandas-UDF pass and must not run twice (r4 review)."""
+    if hashed is None:
+        hashed = with_gram_hashes(df, id_col, text_col, k)
     ex = hashed.select("id", F.size("gh").alias("n_g"), F.explode("gh").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("df"))
     with_df = ex.join(freq, "h")
@@ -318,12 +340,18 @@ def prefix_index_stats(
 
 
 def gram_index_stats(
-    df: DataFrame, id_col: str, text_col: str, k: int, df_cap: int = 1000
+    df: DataFrame, id_col: str, text_col: str, k: int, df_cap: int = 1000,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Dropped-gram metrics for the inverted index (never-silent contract):
     one row with n_grams, n_hot_grams (df > df_cap), n_allhot_rows (rows kept
-    only via the rarest-gram fallback)."""
-    hashed = with_gram_hashes(df, id_col, text_col, k)
+    only via the rarest-gram fallback).
+
+    ``hashed``: pass the (persisted) with_gram_hashes frame a companion
+    gram_jaccard_pairs call already built to avoid re-running the gram
+    stage (r4 review)."""
+    if hashed is None:
+        hashed = with_gram_hashes(df, id_col, text_col, k)
     ex = hashed.select("id", F.explode("gh").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("df"))
     # single-job shape (VERDICT r3 #7): both granularities (per-gram df and

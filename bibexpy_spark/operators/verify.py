@@ -96,8 +96,17 @@ def verify_pairs(
 
     j = j.withColumn("inter", F.size(F.array_intersect("a_sh", "b_sh")))
     j = j.withColumn("union_n", F.col("a_n") + F.col("b_n") - F.col("inter"))
-    j = j.withColumn("jaccard", F.col("inter") / F.col("union_n"))
-    j = j.withColumn("is_dup", F.col("inter") * t_den >= F.col("union_n") * t_num)
+    # try_divide: under ANSI mode (Spark 4 default) 0/0 is a hard job
+    # failure; an empty-vs-empty pair must instead surface as jaccard NULL
+    # with is_dup false (guard below)
+    j = j.withColumn("jaccard", F.try_divide(F.col("inter"), F.col("union_n")))
+    # union_n > 0: two EMPTY shingle sets would otherwise pass 0 >= 0 with
+    # a NULL jaccard — an undefined similarity must never read as a dup
+    j = j.withColumn(
+        "is_dup",
+        (F.col("union_n") > 0)
+        & (F.col("inter") * t_den >= F.col("union_n") * t_num),
+    )
     return j.select("a_id", "b_id", "inter", "union_n", "jaccard", "is_dup")
 
 

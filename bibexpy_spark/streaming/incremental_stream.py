@@ -41,6 +41,7 @@ snapshot commit; the parquet tmp-dir swap below is this sandbox's stand-in
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -120,12 +121,50 @@ def recover_pending_swap(state_dir: str) -> bool:
 
 def _write_intent(state_dir: str, batch_id: int, paths: list[str]) -> None:
     """Atomically publish the swap intent (see recover_pending_swap)."""
-    import json
-
     intent = os.path.join(state_dir, "_swap_intent")
     with open(intent + ".tmp", "w") as fh:
         json.dump({"batch_id": batch_id, "paths": paths}, fh)
     os.replace(intent + ".tmp", intent)
+
+
+def _check_ckpt_identity(state_dir: str, marker_dir: str) -> None:
+    """Refuse to run against _committed markers from a DIFFERENT checkpoint.
+
+    Spark's checkpoint metadata carries a query id minted at the
+    checkpoint's first start and stable across restarts; a reset/replaced
+    _ckpt gets a new id AND restarts batch numbering at 0, so the old
+    markers would silently skip genuinely new batches.  The first batch
+    records the id; later batches must match it.
+    """
+    meta = os.path.join(state_dir, "_ckpt", "metadata")
+    if not os.path.exists(meta):
+        return  # checkpoint not materialized yet (or custom location)
+    try:
+        qid = json.load(open(meta)).get("id")
+    except (OSError, ValueError):
+        return  # unreadable metadata: Spark itself will fail the query
+    if not qid:
+        return
+    rec = os.path.join(marker_dir, "_ckpt_id")
+    if os.path.exists(rec):
+        recorded = open(rec).read().strip()
+        if recorded != qid:
+            raise ValueError(
+                f"state dir {state_dir!r}: _committed markers were written "
+                f"under checkpoint query id {recorded}, but the current "
+                f"_ckpt has id {qid} — the checkpoint was reset or replaced "
+                "while the state tables were kept, so batch numbering "
+                "restarted and the stale markers would silently skip new "
+                "batches.  Restore the original checkpoint, or (after "
+                "verifying the state tables cover everything already "
+                "ingested) delete the _committed dir to start a fresh "
+                "marker lineage."
+            )
+    else:
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(rec + ".tmp", "w") as fh:
+            fh.write(qid)
+        os.replace(rec + ".tmp", rec)
 
 
 def foreach_batch_incremental_dedup(
@@ -157,13 +196,9 @@ def foreach_batch_incremental_dedup(
     handler feeds its own maintained pair state back as
     ``prior_extra_pairs``, so the chain stays batch-equivalent to a full
     run with the same sources."""
-    stream = read_turn_stream(spark, source_path)
-    if max_files_per_trigger is not None:
-        stream = (
-            spark.readStream.schema(stream.schema)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(source_path)
-        )
+    stream = read_turn_stream(
+        spark, source_path, max_files_per_trigger=max_files_per_trigger
+    )
     signed_p = os.path.join(state_dir, "signed")
     clusters_p = os.path.join(state_dir, "clusters")
     turns_p = os.path.join(state_dir, "turns")
@@ -194,6 +229,13 @@ def foreach_batch_incremental_dedup(
         # BEFORE reading any state (it also writes the crashed batch's
         # committed marker, so its replay exits below)
         recover_pending_swap(state_dir)
+        # the _committed markers are keyed by Spark batch_id, which is only
+        # meaningful WITHIN one checkpoint lifetime: resetting/replacing
+        # _ckpt while keeping the state tables restarts batch numbering at
+        # 0, and genuinely NEW batches would silently hit stale markers and
+        # be skipped (r4 review).  Bind the markers to the checkpoint's
+        # query id and refuse loudly on a mismatch.
+        _check_ckpt_identity(state_dir, marker_dir)
         if batch_df.isEmpty():
             return
         # idempotency marker (ADVICE r3): checkpoint replay of a batch whose
@@ -253,62 +295,67 @@ def foreach_batch_incremental_dedup(
             extra_cluster_edges=extra_cluster_edges,
             prior_extra_pairs=prior_extra,
         )
-        # upsert semantics: a re-signed (grown) conversation REPLACES its
-        # prior signature row; new conversations append
-        new_signed = res["signed_new"].select(*sig_cols)
-        if have_state:
-            new_signed = (
-                prior_s.select(*sig_cols)
-                .join(res["signed_new"].select("conv_id"), "conv_id", "left_anti")
-                .unionByName(new_signed)
-            )
-        new_turns_state = batch_df
-        if prior_t is not None:
-            new_turns_state = merge_turns_latest_wins(prior_t, batch_df)
-        # STAGE every output (remap delta included) while the prior state
-        # dirs are still readable — their lineage reads those parquets —
-        # THEN commit all swaps together and drop the marker last, so a
-        # crash at any point either replays the whole batch or skips it
-        _stage(res["clusters"], clusters_p)
-        _stage(new_signed, signed_p)
-        _stage(new_turns_state, turns_p)
-        for delta_key, subdir, a, b in pair_states:
-            p = os.path.join(state_dir, subdir)
-            composed = res[delta_key]
-            if have_state and os.path.exists(p):
-                composed = compose_pair_state(
-                    spark.read.parquet(p), composed,
-                    res["resigned_prior_ids"], a, b,
+        try:
+            # upsert semantics: a re-signed (grown) conversation REPLACES its
+            # prior signature row; new conversations append
+            new_signed = res["signed_new"].select(*sig_cols)
+            if have_state:
+                new_signed = (
+                    prior_s.select(*sig_cols)
+                    .join(res["signed_new"].select("conv_id"), "conv_id", "left_anti")
+                    .unionByName(new_signed)
                 )
-            _stage(composed, p)
-        remap_tmp = os.path.join(state_dir, f"_remap_delta_{batch_id}")
-        res["cluster_remap"].withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).parquet(remap_tmp)
-        # every tmp is now fully on disk: publish the write-ahead intent,
-        # THEN swap.  A crash anywhere from here to the intent removal is
-        # rolled FORWARD by recover_pending_swap (start of handle / stream
-        # start) — the state can never be read mixed old/new by a replay
-        swap_paths = [clusters_p, signed_p, turns_p] + [
-            os.path.join(state_dir, subdir) for _k, subdir, _a, _b in pair_states
-        ]
-        _write_intent(state_dir, batch_id, swap_paths)
-        for path in swap_paths:
-            _commit(path)
-        # fold the staged remap delta into the flat append-only audit dir
-        # under batch-unique names (replays overwrite, never duplicate)
-        os.makedirs(remaps_p, exist_ok=True)
-        for fn in sorted(os.listdir(remap_tmp)):
-            if fn.endswith(".parquet"):
-                os.replace(
-                    os.path.join(remap_tmp, fn),
-                    os.path.join(remaps_p, f"batch{batch_id}-{fn}"),
-                )
-        shutil.rmtree(remap_tmp)
-        os.makedirs(marker_dir, exist_ok=True)
-        open(marker, "w").close()
-        os.remove(os.path.join(state_dir, "_swap_intent"))
-        res["cleanup"]()
+            new_turns_state = batch_df
+            if prior_t is not None:
+                new_turns_state = merge_turns_latest_wins(prior_t, batch_df)
+            # STAGE every output (remap delta included) while the prior state
+            # dirs are still readable — their lineage reads those parquets —
+            # THEN commit all swaps together and drop the marker last, so a
+            # crash at any point either replays the whole batch or skips it
+            _stage(res["clusters"], clusters_p)
+            _stage(new_signed, signed_p)
+            _stage(new_turns_state, turns_p)
+            for delta_key, subdir, a, b in pair_states:
+                p = os.path.join(state_dir, subdir)
+                composed = res[delta_key]
+                if have_state and os.path.exists(p):
+                    composed = compose_pair_state(
+                        spark.read.parquet(p), composed,
+                        res["resigned_prior_ids"], a, b,
+                    )
+                _stage(composed, p)
+            remap_tmp = os.path.join(state_dir, f"_remap_delta_{batch_id}")
+            res["cluster_remap"].withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(remap_tmp)
+            # every tmp is now fully on disk: publish the write-ahead intent,
+            # THEN swap.  A crash anywhere from here to the intent removal is
+            # rolled FORWARD by recover_pending_swap (start of handle / stream
+            # start) — the state can never be read mixed old/new by a replay
+            swap_paths = [clusters_p, signed_p, turns_p] + [
+                os.path.join(state_dir, subdir) for _k, subdir, _a, _b in pair_states
+            ]
+            _write_intent(state_dir, batch_id, swap_paths)
+            for path in swap_paths:
+                _commit(path)
+            # fold the staged remap delta into the flat append-only audit dir
+            # under batch-unique names (replays overwrite, never duplicate)
+            os.makedirs(remaps_p, exist_ok=True)
+            for fn in sorted(os.listdir(remap_tmp)):
+                if fn.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(remap_tmp, fn),
+                        os.path.join(remaps_p, f"batch{batch_id}-{fn}"),
+                    )
+            shutil.rmtree(remap_tmp)
+            os.makedirs(marker_dir, exist_ok=True)
+            open(marker, "w").close()
+            os.remove(os.path.join(state_dir, "_swap_intent"))
+        finally:
+            # release the run's persisted frames even when staging or
+            # commit raises — a foreachBatch retry would otherwise stack
+            # a fresh persisted set per attempt (r4 review)
+            res["cleanup"]()
 
     # complete any swap a previous process crashed in the middle of before
     # the restarted stream reads state or replays the batch

@@ -20,9 +20,18 @@ TURN_SCHEMA = (
 )
 
 
-def read_turn_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of turn rows (parquet files appended to a dir)."""
-    return spark.readStream.schema(TURN_SCHEMA).parquet(path)
+def read_turn_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of turn rows (parquet files appended to a dir).
+
+    One function owns the source definition (schema/format/options);
+    callers needing a bounded micro-batch pass ``max_files_per_trigger``
+    instead of rebuilding the reader by hand (r4 review)."""
+    reader = spark.readStream.schema(TURN_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def windowed_turn_counts(stream: DataFrame, lateness: str = "10 minutes") -> DataFrame:

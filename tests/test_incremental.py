@@ -356,3 +356,17 @@ def test_purely_new_delta_defensive_prior_turns_no_pair_state_needed(
     full = pipeline.run_dedup(spark, all_turns, extra_cluster_edges=EDGES, **kw)
     assert _cluster_set(incr["clusters"]) == _cluster_set(full["clusters"])
     incr["cleanup"]()
+
+
+def test_prior_signed_without_prior_clusters_raises(spark, split_corpus):
+    """prior_signed without prior_clusters must fail loudly: the emitted
+    'clusters' would silently omit every quiet old conversation (r4
+    review; mirrors the prior_turns guard)."""
+    old_turns, new_turns, _ = split_corpus
+    prior = pipeline.run_dedup(
+        spark, old_turns, with_containment=False, with_simhash_pass=False
+    )
+    with pytest.raises(ValueError, match="without prior_clusters"):
+        incremental.run_incremental_dedup(
+            spark, new_turns, prior["signed"], None
+        )

@@ -232,3 +232,27 @@ def test_stream_refuses_signed_state_without_turns(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="no turns/"):
         q.awaitTermination(300)
+
+
+def test_ckpt_identity_guard(tmp_path):
+    """_committed markers belong to ONE checkpoint lifetime: replacing
+    _ckpt while keeping the state tables restarts batch numbering, so the
+    stale markers would silently skip new batches — the guard must refuse
+    (r4 review).  Pure-filesystem unit test."""
+    import json
+
+    from bibexpy_spark.streaming.incremental_stream import _check_ckpt_identity
+
+    state = str(tmp_path / "state")
+    marker_dir = os.path.join(state, "_committed")
+    meta_dir = os.path.join(state, "_ckpt")
+    os.makedirs(meta_dir)
+    # no metadata yet -> no-op
+    _check_ckpt_identity(state, marker_dir)
+    json.dump({"id": "q-1"}, open(os.path.join(meta_dir, "metadata"), "w"))
+    _check_ckpt_identity(state, marker_dir)      # records q-1
+    assert open(os.path.join(marker_dir, "_ckpt_id")).read() == "q-1"
+    _check_ckpt_identity(state, marker_dir)      # same id: fine
+    json.dump({"id": "q-2"}, open(os.path.join(meta_dir, "metadata"), "w"))
+    with pytest.raises(ValueError, match="reset or replaced"):
+        _check_ckpt_identity(state, marker_dir)

@@ -208,3 +208,46 @@ def test_verify_guard_drops_degenerate_self_pair(spark):
     got = {(r["a_id"], r["b_id"]) for r in
            ngram.verify_gram_pairs(cand, hashed, 9, 10).collect()}
     assert got == {("a", "b")}  # the (a, a) self-pair must not emit
+
+
+def test_cache_registry_and_stats_hashed_reuse(spark):
+    """gram_jaccard_pairs exposes its persisted frames through
+    cache_registry so a long-lived session can release them, and the stats
+    companions accept the precomputed gram-hash frame instead of re-running
+    the most expensive stage (r4 review)."""
+    rows = [
+        ("a", "spark shuffle partitions and broadcast joins in practice"),
+        ("b", "spark shuffle partitions and broadcast joins in production"),
+        ("c", "a completely different text about connected components"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    reg = []
+    pairs = ngram.gram_jaccard_pairs(
+        df, "doc_id", "text", 3, 1, 2, cache_registry=reg
+    )
+    pairs.collect()
+    assert len(reg) == 1 and reg[0].is_cached
+    hashed = reg[0]
+    # stats reuse the SAME hashed frame: results match the from-scratch path
+    a = ngram.prefix_index_stats(df, "doc_id", "text", 3, 1, 2).collect()[0]
+    b = ngram.prefix_index_stats(
+        df, "doc_id", "text", 3, 1, 2, hashed=hashed
+    ).collect()[0]
+    assert a.asDict() == b.asDict()
+    c = ngram.gram_index_stats(df, "doc_id", "text", 3, df_cap=2).collect()[0]
+    d = ngram.gram_index_stats(
+        df, "doc_id", "text", 3, df_cap=2, hashed=hashed
+    ).collect()[0]
+    assert c.asDict() == d.asDict()
+    for f in reg:
+        f.unpersist()
+    assert not hashed.is_cached
+    # rare_index mode registers both persisted frames
+    reg2 = []
+    ngram.gram_jaccard_pairs(
+        df, "doc_id", "text", 3, 1, 2, candidates="rare_index",
+        cache_registry=reg2,
+    ).collect()
+    assert len(reg2) == 2
+    for f in reg2:
+        f.unpersist()

@@ -249,3 +249,41 @@ def test_assemble_docs_accepts_minimal_turn_schema(spark):
     assert got_lean == got_full
     with_opts = assembly.assemble_docs(lean, include_roles_tools=True).first()
     assert with_opts["roles"] == " " and with_opts["tools"] == ""
+
+
+def test_verify_empty_shingle_pair_is_not_dup(spark):
+    """Two conversations whose shingle sets are both EMPTY have undefined
+    similarity (0/0) and must not verify as duplicates — the integer
+    threshold compare alone would pass 0 >= 0 (r4 review)."""
+    from bibexpy_spark.config import CANONICAL
+    from bibexpy_spark.operators import verify as verify_op
+
+    signed = spark.createDataFrame(
+        [("a", []), ("b", []), ("c", [1, 2, 3]), ("d", [1, 2, 3])],
+        "conv_id string, shingles array<long>",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "a_id string, b_id string"
+    )
+    out = {
+        r["a_id"]: (r["is_dup"], r["jaccard"])
+        for r in verify_op.verify_pairs(pairs, signed, CANONICAL).collect()
+    }
+    assert out["a"][0] is False          # empty-vs-empty: never a dup
+    assert out["c"] == (True, 1.0)       # identical non-empty sets still pass
+
+
+def test_gram_verify_empty_arrays_emit_no_pair(spark):
+    """ngram.verify_gram_pairs: empty gram arrays on both sides must not
+    emit a pair via 0 >= 0 (r4 review, same guard class as verify_pairs)."""
+    from bibexpy_spark.operators import ngram
+
+    side = spark.createDataFrame(
+        [("a", []), ("b", []), ("c", [7, 8]), ("d", [7, 8])],
+        "id string, gh array<long>",
+    )
+    cand = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "a_id string, b_id string"
+    )
+    rows = ngram.verify_gram_pairs(cand, side, 1, 2).collect()
+    assert {(r["a_id"], r["b_id"]) for r in rows} == {("c", "d")}
