@@ -139,10 +139,13 @@ def q_fill_health(spark, sf_dir):
         sane("lang").alias("_f_lang"),
         sane("source").alias("_f_source"),
     )
+    # try_divide: an EMPTY documents table yields total=0 in the one agg
+    # row, and under ANSI mode (Spark 4 default) 0/0 is a job failure —
+    # health on an empty table is NULL, not a crash
     score = (
-        3 * F.col("_f_text") / F.col("total")
-        + 2 * F.col("_f_lang") / F.col("total")
-        + 1 * F.col("_f_source") / F.col("total")
+        3 * F.try_divide(F.col("_f_text"), F.col("total"))
+        + 2 * F.try_divide(F.col("_f_lang"), F.col("total"))
+        + 1 * F.try_divide(F.col("_f_source"), F.col("total"))
     ) / F.lit(6.0)
     return agg.select(
         "total", "filled_text", "filled_lang", "filled_source",

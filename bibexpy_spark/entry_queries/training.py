@@ -462,13 +462,16 @@ def e_cosine_lsh_stats(spark, sf_dir, n_planes: int = 6, n_tables: int = 64,
         (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2)
         .cast("long").alias("total_pairs"),
     )
+    # try_divide: total_pairs = 0 on a 0/1-vector corpus, and ANSI-mode
+    # 0/0 is a job failure — the stats row must degrade to NULL rate
     return stats.select(
         "*",
-        F.round(F.col("n_candidate_pairs") / F.col("total_pairs"), 4).alias(
-            "candidate_rate"
-        ),
+        F.round(
+            F.try_divide(F.col("n_candidate_pairs"), F.col("total_pairs")), 4
+        ).alias("candidate_rate"),
         (
-            F.col("n_candidate_pairs") / F.col("total_pairs") > warn_rate
+            F.try_divide(F.col("n_candidate_pairs"), F.col("total_pairs"))
+            > warn_rate
         ).alias("high_candidate_rate"),
     )
 

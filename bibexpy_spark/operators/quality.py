@@ -51,8 +51,11 @@ def health_score(df: DataFrame, weights: dict[str, int] | None = None) -> DataFr
         raise ValueError("no weighted fields present in the DataFrame")
     rates = fill_rates(df, list(present))
     total_w = sum(present.values())
+    # try_divide: empty input -> total=0 in the one agg row; ANSI-mode 0/0
+    # is a job failure, so an empty table scores NULL instead of crashing
     score = sum(
-        (F.col(f"filled_{f}") / F.col("total")) * w for f, w in present.items()
+        F.try_divide(F.col(f"filled_{f}"), F.col("total")) * w
+        for f, w in present.items()
     ) / F.lit(total_w)
     return rates.select(
         "total", F.round(score, 6).alias("health_score")
