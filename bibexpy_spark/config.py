@@ -52,14 +52,15 @@ class DedupConfig:
     simhash_hamming_max: int = 3
     simhash_chunks: int = 4             # pigeonhole: one chunk must be equal
 
-    # -- skew handling
-    band_salt_buckets: int = 8          # salt factor for hot bands
-    hot_band_cap: int = 2000            # max rows per (band, hash) group before salting kicks in
-    max_pairs_per_band: int = 5_000_000 # honesty cap; truncation is logged, never silent
+    # -- skew handling (r4 review: the former band_salt_buckets /
+    # max_pairs_per_band / cc_checkpoint_every knobs were implemented
+    # nowhere — dead fields that still altered config_hash; removed so the
+    # config only advertises behavior that exists)
+    hot_band_cap: int = 2000            # max rows per (band, hash) bucket before the star fallback
+    hot_chunk_cap: int = 2000           # same policy for SimHash (chunk_idx, chunk_val) buckets
 
     # -- connected components
     cc_max_iter: int = 50
-    cc_checkpoint_every: int = 5
 
     # -- containment (suffix pass)
     containment_prefix_tokens: int = 8  # blocking key = first N normalized tokens
@@ -69,6 +70,26 @@ class DedupConfig:
             raise ValueError(
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
                 f"!= num_perm ({self.num_perm})"
+            )
+        # pigeonhole preconditions (r4 review): two hashes within Hamming
+        # distance d can disagree on at most d chunks, so d < chunks is
+        # REQUIRED for the chunk equi-join to be lossless; chunks must also
+        # divide the hash into sane widths (2..32 chunks of >= 2 bits —
+        # chunks=1 would need a 64-bit mask literal that overflows LongType,
+        # and width < 2 collapses buckets toward a cross join)
+        if not (2 <= self.simhash_chunks <= 32):
+            raise ValueError(
+                f"simhash_chunks must be in [2, 32], got {self.simhash_chunks}"
+            )
+        if 64 % self.simhash_chunks != 0:
+            raise ValueError(
+                f"simhash_chunks must divide 64, got {self.simhash_chunks}"
+            )
+        if not (0 <= self.simhash_hamming_max < self.simhash_chunks):
+            raise ValueError(
+                f"simhash_hamming_max ({self.simhash_hamming_max}) must be "
+                f"< simhash_chunks ({self.simhash_chunks}) for the "
+                "pigeonhole candidate join to be lossless"
             )
         if self.containment_prefix_tokens < 1:
             # C = 8 * containment_prefix_tokens chars; C = 0 would collapse

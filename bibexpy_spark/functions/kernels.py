@@ -21,6 +21,7 @@ Reference semantics generalized here:
 from __future__ import annotations
 
 import hashlib
+import re
 import unicodedata
 
 import numpy as np
@@ -84,7 +85,9 @@ def normalize_text(texts: pd.Series, cfg: DedupConfig) -> pd.Series:
     if cfg.collapse_ws:
         s = s.str.replace(r"\s+", " ", regex=True).str.strip()
     if cfg.stopwords:
-        pat = r"\b(?:" + "|".join(cfg.stopwords) + r")\b"
+        # re.escape: a stopword with regex metacharacters ('c++', 'a.b')
+        # must match literally, not corrupt or crash the pattern (r4 review)
+        pat = r"\b(?:" + "|".join(re.escape(w) for w in cfg.stopwords) + r")\b"
         s = s.str.replace(pat, " ", regex=True)
         s = s.str.replace(r"\s+", " ", regex=True).str.strip()
     return s
@@ -422,7 +425,6 @@ def suffix_array(data: bytes | bytearray | np.ndarray) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.int64)
     rank = s.astype(np.int64)
-    order = np.argsort(rank, kind="stable")
     k = 1
     while True:
         key2 = np.full(n, -1, dtype=np.int64)

@@ -173,7 +173,11 @@ def _g_norm_text(s, cfg: DedupConfig = CANONICAL) -> str:
     if cfg.collapse_ws:
         t = re.sub(r"\s+", " ", t).strip()
     if cfg.stopwords:
-        t = re.sub(r"\b(?:" + "|".join(cfg.stopwords) + r")\b", " ", t)
+        t = re.sub(
+            r"\b(?:" + "|".join(re.escape(w) for w in cfg.stopwords) + r")\b",
+            " ",
+            t,
+        )
         t = re.sub(r"\s+", " ", t).strip()
     return t
 

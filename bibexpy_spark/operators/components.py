@@ -8,8 +8,8 @@ replaces the reference's greedy confidence-ordered 1:1 matching
 (blocking.py:116-140) with an order-independent, shuffle-parallel algorithm
 (the north rule's clustering operator).
 
-Lineage is truncated with ``localCheckpoint`` every ``cc_checkpoint_every``
-rounds; convergence is detected by an order-insensitive edge-set checksum
+Lineage is truncated with ``localCheckpoint`` every round; convergence is
+detected by an order-insensitive edge-set checksum
 (count + sum of xxhash64) collected as an Observation DURING the checkpoint
 job — one blocking job per round, no separate aggregate pass, no
 ``exceptAll``.
@@ -117,6 +117,20 @@ def connected_components(
             if cur == prev:
                 break
             prev = cur
+        else:
+            # never-silent contract (r4 review): exhausting cc_max_iter
+            # without the checksum stabilizing means the edge set is not a
+            # fixed point and _finalize would emit NON-TRANSITIVE labels —
+            # two members of one true component under different cluster
+            # ids, with nothing flagging it.  Star contraction converges in
+            # O(log n) rounds, so hitting the cap is a config error, not a
+            # data condition.
+            raise RuntimeError(
+                f"connected components did not converge within "
+                f"cc_max_iter={cfg.cc_max_iter} rounds (last checksum "
+                f"{prev}); raise cc_max_iter — emitting the current edge "
+                "set would silently produce inconsistent cluster labels"
+            )
     finally:
         spark.conf.set(prop_key, prev_prop)
 

@@ -287,3 +287,72 @@ def test_gram_verify_empty_arrays_emit_no_pair(spark):
     )
     rows = ngram.verify_gram_pairs(cand, side, 1, 2).collect()
     assert {(r["a_id"], r["b_id"]) for r in rows} == {("c", "d")}
+
+
+def test_simhash_hot_bucket_star_fallback(spark):
+    """A hot (chunk_idx, chunk_val) bucket must degrade to the star
+    pattern (n-1 pairs through the bucket rep), not a quadratic self-join
+    — the lsh.candidate_pairs policy applied to the SimHash pass (r4
+    review).  Identical docs share every chunk, so the star still connects
+    all of them at hamming 0."""
+    from dataclasses import replace
+
+    from bibexpy_spark.config import CANONICAL
+    from bibexpy_spark.operators import simhash as sh
+
+    n = 8
+    simmed = spark.createDataFrame(
+        [(f"c{i:02d}", 1234567) for i in range(n)]
+        + [("z1", 7654321), ("z2", 7654321 ^ 1)],   # hamming-1 pair, cold bucket
+        "conv_id string, simhash long",
+    )
+    cfg = replace(CANONICAL, hot_chunk_cap=4)
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in sh.simhash_pairs(simmed, cfg).collect()
+    }
+    star = {(f"c00", f"c{i:02d}") for i in range(1, n)}
+    assert star <= pairs                       # all members reach the rep
+    assert ("z1", "z2") in pairs               # cold bucket: exact pairs kept
+    assert len([p for p in pairs if p[0].startswith("c")]) == n - 1
+    # below the cap the exact all-pairs set comes back
+    full = {
+        (r["a_id"], r["b_id"])
+        for r in sh.simhash_pairs(simmed, CANONICAL).collect()
+        if r["a_id"].startswith("c")
+    }
+    assert len(full) == n * (n - 1) // 2
+    # stats are never silent about star mode
+    st = sh.simhash_chunk_stats(simmed, cfg).collect()[0]
+    assert st["n_hot_buckets"] > 0 and st["max_bucket_n"] == n + 2  # high chunks are 0 for ALL small ints -> one all-rows bucket
+
+
+def test_simhash_delta_matches_batch_with_star(spark):
+    """prior ∪ delta == batch over everything, star mode included, while
+    no bucket crosses the cap between batches (r4 review)."""
+    from dataclasses import replace
+
+    from bibexpy_spark.config import CANONICAL
+    from bibexpy_spark.operators import simhash as sh
+
+    cfg = replace(CANONICAL, hot_chunk_cap=3)
+    old = spark.createDataFrame(
+        [(f"h{i}", 999) for i in range(6)] + [("q1", 555)],
+        "conv_id string, simhash long",
+    )
+    new = spark.createDataFrame(
+        [("n1", 999), ("n2", 555 ^ 2)], "conv_id string, simhash long"
+    )
+    batch = {
+        (r["a_id"], r["b_id"])
+        for r in sh.simhash_pairs(old.unionByName(new), cfg).collect()
+    }
+    prior = {
+        (r["a_id"], r["b_id"]) for r in sh.simhash_pairs(old, cfg).collect()
+    }
+    delta = {
+        (r["a_id"], r["b_id"])
+        for r in sh.simhash_pairs_delta(old, new, cfg).collect()
+    }
+    assert prior | delta == batch
+    assert all("n" in a or "n" in b for a, b in delta)
