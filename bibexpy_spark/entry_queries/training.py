@@ -274,6 +274,11 @@ def e_ivf_ann(spark, sf_dir, k: int = 5, n_queries: int = 10,
         .limit(n_cells)
         .collect()
     )
+    if not cent_rows:
+        # zero-vector corpus: no quantizer to build, no neighbours to rank
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, cos double, rank int"
+        )
     cent = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64)
          for r in sorted(cent_rows, key=lambda r: r["vec_id"])]
@@ -331,7 +336,13 @@ def e_lsh_ann(spark, sf_dir, k: int = 5, n_queries: int = 10,
     e = _t(spark, sf_dir, "embeddings")
     # driver touch ceiling: ONE row fetched to size the plane matrix — O(dim)
     # bytes to the driver, never O(n); at 10^12 rows this stays one row
-    dim = len(e.select("embedding").first()[0])
+    probe = e.select("embedding").first()
+    if probe is None:
+        # zero-vector corpus: no planes to size, no neighbours to rank
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, cos double, rank int"
+        )
+    dim = len(probe[0])
     rng = np.random.default_rng(CANONICAL.minhash_seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
 
@@ -384,7 +395,19 @@ def _cosine_lsh_candidates(spark, sf_dir, n_planes: int, n_tables: int):
     e = _t(spark, sf_dir, "embeddings")
     # driver touch ceiling: ONE row fetched to size the plane matrix — O(dim)
     # bytes to the driver, never O(n); at 10^12 rows this stays one row
-    dim = len(e.select("embedding").first()[0])
+    probe = e.select("embedding").first()
+    if probe is None:
+        # zero-vector corpus: no plane matrix to size — zero candidates;
+        # the stats caller then emits an explicit 0-row with NULL rate
+        return (
+            spark.createDataFrame(
+                [],
+                "a_id bigint, a_emb array<float>, "
+                "b_id bigint, b_emb array<float>",
+            ),
+            e,
+        )
+    dim = len(probe[0])
     rng = np.random.default_rng(CANONICAL.minhash_seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
 

@@ -332,8 +332,12 @@ def prefix_index_stats(
     return flagged.agg(
         F.count("*").alias("n_gram_rows"),
         F.sum(F.col("_in_prefix").cast("long")).alias("n_prefix_rows"),
+        # try_divide: an empty corpus yields count=0 in the one agg row,
+        # and ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO even with
+        # a NULL numerator — stats on an empty index are NULL, not a crash
         F.round(
-            F.sum(F.col("_in_prefix").cast("long")) / F.count("*"), 4
+            F.try_divide(F.sum(F.col("_in_prefix").cast("long")), F.count("*")),
+            4,
         ).alias("prefix_fraction"),
         F.max(F.when(F.col("_in_prefix"), F.col("df"))).alias("max_prefix_df"),
     )

@@ -134,6 +134,16 @@ def test_prefix_index_stats(spark):
     assert st["max_prefix_df"] == 5
 
 
+def test_prefix_index_stats_empty_corpus(spark):
+    # ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO on the count=0
+    # agg row even with a NULL numerator — must degrade to NULL, not crash
+    df = spark.createDataFrame([], "doc_id string, text string")
+    st = ngram.prefix_index_stats(df, "doc_id", "text", 3, 4, 5).collect()[0]
+    assert st["n_gram_rows"] == 0
+    assert st["prefix_fraction"] is None
+    assert st["max_prefix_df"] is None
+
+
 def test_gram_hash_kernel_matches_sql_equality_classes(spark):
     """with_gram_hashes (Arrow kernel, hot path) must induce the SAME gram
     equality classes as with_grams (the SQL spec): for every doc pair,

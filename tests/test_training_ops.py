@@ -175,3 +175,22 @@ def test_cosine_backends_agree(spark):
     good = out.loc[~degen]
     assert not good.ck.isna().any()
     assert (good.ck == good.ch).all()
+
+
+def test_ann_and_lsh_queries_on_empty_corpus(spark, tmp_path):
+    """Zero-vector corpus: the plane/centroid sizing probes find no row —
+    every ANN/LSH entry must degrade to an empty (or NULL-rate) result
+    instead of a driver TypeError, and ANSI 0/0 must not fire."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    assert training.e_cosine_lsh(spark, sf).count() == 0
+    assert training.e_lsh_ann(spark, sf).count() == 0
+    assert training.e_ivf_ann(spark, sf).count() == 0
+    row = training.e_cosine_lsh_stats(spark, sf).first()
+    assert row["n_vectors"] == 0
+    assert row["candidate_rate"] is None
+    # the guardrail materializer must not warn or crash on the NULL row
+    assert training.check_cosine_lsh_rate(spark, sf)["total_pairs"] == 0
