@@ -146,6 +146,34 @@ def main(argv: list[str] | None = None) -> None:
                      "--prior-simhash-pairs (the prior run's simhash_pairs "
                      "output); pass --no-simhash to skip the pass")
 
+        # refuse in-place state updates: every prior table is read LAZILY
+        # while the matching output is written with mode("overwrite") — if a
+        # --prior-* path sits at/under --output, the overwrite deletes the
+        # state mid-read (Spark's self-overwrite detection only covers
+        # catalog tables, not file sources), corrupting the very state the
+        # next delta run needs.  Daily increments must write a fresh
+        # directory per run (docstring: out1 -> out2).
+        def _norm(p: str) -> str:
+            return p.rstrip("/") if "://" in p else os.path.realpath(p)
+
+        out_n = _norm(args.output)
+        for flag, path in [
+            ("--prior-signed", args.prior_signed),
+            ("--prior-clusters", args.prior_clusters),
+            ("--prior-turns", args.prior_turns),
+            ("--prior-containment-prefix", args.prior_containment_prefix),
+            ("--prior-containment-pairs", args.prior_containment_pairs),
+            ("--prior-simhash-pairs", args.prior_simhash_pairs),
+        ]:
+            if path and (_norm(path) == out_n
+                         or _norm(path).startswith(out_n + os.sep)
+                         or _norm(path).startswith(out_n + "/")):
+                ap.error(f"{flag} {path!r} lies inside --output "
+                         f"{args.output!r}: the overwrite would delete the "
+                         "prior state while it is still being read lazily — "
+                         "each incremental run must write a fresh output "
+                         "directory")
+
     from pyspark.sql import SparkSession
 
     builder = SparkSession.builder.appName("bibexpy_dedup")

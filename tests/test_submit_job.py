@@ -225,3 +225,39 @@ def test_incremental_hard_requires_prior_pair_state_flags():
     # simhash pass on (default), its pair state missing
     with pytest.raises(SystemExit):
         mod.main(base)
+
+
+def test_incremental_refuses_in_place_state_overwrite(tmp_path):
+    """Regression (r4 review): --incremental with a --prior-* path at/under
+    --output would lazily read the prior state while write.mode("overwrite")
+    deletes it (Spark's self-overwrite detection covers only catalog tables,
+    not file sources) — the next delta's state silently corrupts.  The job
+    must refuse before touching Spark."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "dedup_job_inplace", os.path.join(REPO, "jobs", "dedup_job.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "state")
+    base = ["--input", "in.parquet", "--output", out, "--incremental",
+            "--no-simhash"]
+    # prior table directly inside the output dir
+    with pytest.raises(SystemExit):
+        mod.main(base + ["--prior-signed", os.path.join(out, "signed"),
+                         "--prior-clusters", str(tmp_path / "c")])
+    # symlink alias of the output dir must not evade the guard
+    (tmp_path / "state").mkdir()
+    alias = tmp_path / "alias"
+    alias.symlink_to(tmp_path / "state")
+    with pytest.raises(SystemExit):
+        mod.main(base + ["--prior-signed", str(tmp_path / "s"),
+                         "--prior-clusters", str(alias / "clusters")])
+    # scheme'd URIs compare textually (realpath must not mangle them)
+    with pytest.raises(SystemExit):
+        mod.main(["--input", "in.parquet", "--output", "s3://bkt/out/",
+                  "--incremental", "--no-simhash",
+                  "--prior-signed", "s3://bkt/out/signed",
+                  "--prior-clusters", "s3://bkt/prior/clusters"])
