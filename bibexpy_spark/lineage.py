@@ -58,8 +58,15 @@ def input_token_for_paths(*paths: str, content_hash: bool = False) -> str:
     parts = []
     for p in sorted(paths):
         if os.path.isdir(p):
-            for f in sorted(os.listdir(p)):
-                parts.append(_file_part(os.path.join(p, f)))
+            # recursive walk: a PARTITIONED table (key=val/ subdirs) must
+            # token its leaf files — the one-level listdir this replaced
+            # stat'ed the subdirectory itself, so an in-place rewrite deep
+            # in a partition could keep the token (dir size + often mtime
+            # unchanged), and content mode crashed on the directory open
+            for dirpath, dirs, files in os.walk(p):
+                dirs.sort()
+                for f in sorted(files):
+                    parts.append(_file_part(os.path.join(dirpath, f)))
         elif os.path.exists(p):
             parts.append(_file_part(p))
         else:

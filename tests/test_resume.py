@@ -167,3 +167,27 @@ def test_content_hash_token_gates_stage_freshness(spark, tmp_path):
     ctx2 = RunContext(spark, CANONICAL, wh, run_id="r1",
                       input_token=input_token_for_paths(str(src), content_hash=True))
     assert not ctx2.stage_fresh("stage_a")  # content change -> rerun
+
+
+def test_input_token_walks_partitioned_dirs(tmp_path):
+    """Regression (r4 review): a PARTITIONED input (key=val/ subdirs) must
+    token its leaf files — the one-level listing stat'ed the subdirectory
+    itself, so a same-size in-place rewrite deep in a partition could keep
+    the cheap token, and content mode crashed opening the directory."""
+    import os
+
+    root = tmp_path / "tbl"
+    part = root / "year=2025"
+    part.mkdir(parents=True)
+    f = part / "part-0.parquet"
+    f.write_bytes(b"abc")
+    t_cheap = input_token_for_paths(str(root))
+    t_content = input_token_for_paths(str(root), content_hash=True)  # no crash
+    st = os.stat(f)
+    f.write_bytes(b"xyz")  # same size
+    os.utime(f, (st.st_atime, st.st_mtime))  # restored mtime
+    os.utime(part, (st.st_atime, st.st_mtime))
+    assert input_token_for_paths(str(root), content_hash=True) != t_content
+    # cheap mode now at least sees size changes in leaf files
+    f.write_bytes(b"lengthier")
+    assert input_token_for_paths(str(root)) != t_cheap
