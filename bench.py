@@ -926,6 +926,51 @@ def _write_bench_md(result, per_corpus) -> None:
             "delta instead of 100x.",
         ]
 
+    grown_path = os.path.join(REPO, "data", "incremental_bench_grown.json")
+    if os.path.exists(grown_path):
+        gb = json.load(open(grown_path))
+        ds = gb.get("delta_stats", {})
+        lines += [
+            "",
+            "### Grown-conversation delta (retract-and-resign)",
+            "",
+            f"Same protocol, but the delta also APPENDS turns to "
+            f"{gb.get('n_grown_conversations')} existing conversations "
+            f"({gb.get('grown_pct')}% of the corpus) alongside "
+            f"{gb['n_delta_conversations'] - gb.get('n_grown_conversations', 0)}"
+            " new ones — the open-conversation ingest shape: each grown"
+            " conversation's prior cluster is dissolved, the conversation"
+            " re-signed over its merged turn set, and its former co-members"
+            " re-enter candidate/verify/cluster with their existing"
+            " signatures (re-signing stays O(|grown|)).  Cluster counts"
+            " asserted equal to the full-batch run every cycle.",
+            "",
+            "| cycle | full (s) | incr (s) | probes f/i (s) | raw | normalized |",
+            "|---|---|---|---|---|---|",
+        ]
+        for i, r in enumerate(gb["cycles"]):
+            probes = (
+                f"{r['full_probe_s']} / {r['incr_probe_s']}"
+                if "full_probe_s" in r else "—"
+            )
+            lines.append(
+                f"| {i + 1} ({r['order']}) | {r['full_s']} | {r['incr_s']} "
+                f"| {probes} | {r['speedup']}x "
+                f"| {r.get('speedup_normalized', '—')}x |"
+            )
+        lines += [
+            "",
+            f"Minima: full {gb['full_batch_s_min']}s vs incremental "
+            f"{gb['incremental_s_min']}s — **{gb['speedup_minima']}x**; "
+            f"probe-normalized median "
+            f"**{gb.get('speedup_normalized_median', '—')}x**.  "
+            f"Retraction volume: {ds.get('n_retracted_clusters')} prior "
+            f"clusters dissolved, {ds.get('n_carried')} co-member "
+            f"signatures carried (re-entered clustering without "
+            f"re-signing), {ds.get('n_merged_prior_clusters')} prior "
+            f"clusters remapped.",
+        ]
+
     lines += [
         "",
         "## Headline queries (sf0.1, local[32], fully materialized)",

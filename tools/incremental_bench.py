@@ -34,8 +34,12 @@ rows) — O(|corpus|) scan terms with tiny constants; at 10^12 rows both
 become maintained state tables.  The measured speedup therefore
 UNDERSTATES the production gap.
 
-Run:  python tools/incremental_bench.py  [delta_pct] [cycles] [cores]
+Run:  python tools/incremental_bench.py  [delta_pct] [cycles] [cores] [grown_pct]
 Writes data/incremental_bench.json, which bench.py folds into BENCH.md.
+With grown_pct > 0, that share of EXISTING conversations receives appended
+turns in the delta (retract-and-resign, incremental.py module docstring)
+and results go to data/incremental_bench_grown.json (its own BENCH.md
+section).
 """
 
 from __future__ import annotations
@@ -57,6 +61,13 @@ def main() -> None:
     delta_pct = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    # grown_pct > 0 measures the retract-and-resign shape: that share of
+    # EXISTING conversations receives appended turns in the delta, so the
+    # incremental leg must dissolve their clusters, re-sign them over the
+    # merged turn set, and re-cluster the neighborhood (incremental.py
+    # module docstring).  Results go to incremental_bench_grown.json — a
+    # separate BENCH.md section, not a replacement of the new-conv evidence.
+    grown_pct = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
 
     from pyspark.sql import functions as F
 
@@ -82,14 +93,54 @@ def main() -> None:
     turns = spark.read.parquet(path)
 
     # deterministic split on conv_id: delta conversations are NEW (never
-    # grown), matching the simple daily-ingest shape; grown-delta cost is
-    # bounded by the same terms plus the touched clusters' re-entry
+    # grown) by default, matching the simple daily-ingest shape; with
+    # grown_pct a disjoint bucket range of EXISTING conversations receives
+    # appended turns in the delta (the retract-and-resign shape)
     bucket = F.abs(F.xxhash64("conv_id")) % 1000
     is_delta = bucket < int(delta_pct * 10)
+    is_grown = (bucket >= 500) & (bucket < 500 + int(grown_pct * 10))
     prior_turns = turns.filter(~is_delta)
-    delta_turns = turns.filter(is_delta)
+    new_conv_turns = turns.filter(is_delta)
+    if grown_pct > 0:
+        # two deterministic appended turns per grown conversation, keyed
+        # above its current max turn_idx — the open-conversation ingest shape
+        heads = (
+            turns.filter(is_grown)
+            .groupBy("conv_id")
+            .agg(F.max("turn_idx").alias("mx"), F.max("ts").alias("mts"))
+        )
+        appended = None
+        for i, role in enumerate(("user", "assistant")):
+            leg = heads.select(
+                "conv_id",
+                (F.col("mx") + 1 + i).alias("turn_idx"),
+                F.lit(role).alias("role"),
+                F.concat(
+                    F.lit(f"appended grown-delta {role} turn for "),
+                    F.col("conv_id"),
+                ).alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                (F.col("mts") + F.expr(f"INTERVAL {i + 1} MINUTE")).alias("ts"),
+            )
+            appended = leg if appended is None else appended.unionByName(leg)
+        delta_df = new_conv_turns.select(*appended.columns).unionByName(appended)
+        full_df = turns.select(*appended.columns).unionByName(appended)
+        # materialize both leg inputs so full and incremental read the same
+        # stable parquet (scan parity between the legs)
+        delta_p = os.path.join(scratch, "delta_turns.parquet")
+        full_p = os.path.join(scratch, "full_turns.parquet")
+        delta_df.write.parquet(delta_p)
+        full_df.write.parquet(full_p)
+        delta_turns = spark.read.parquet(delta_p)
+        full_turns = spark.read.parquet(full_p)
+    else:
+        delta_turns = new_conv_turns
+        full_turns = turns
     n_conv = turns.select("conv_id").distinct().count()
     n_delta = delta_turns.select("conv_id").distinct().count()
+    n_grown = delta_turns.join(
+        prior_turns.select("conv_id").distinct(), "conv_id", "left_semi"
+    ).select("conv_id").distinct().count()
     n_turns = turns.count()
     n_delta_turns = delta_turns.count()
 
@@ -125,7 +176,7 @@ def main() -> None:
     def leg_full() -> tuple[float, int]:
         t0 = time.time()
         res = pipeline.run_dedup(
-            spark, turns, with_containment=False, with_simhash_pass=False
+            spark, full_turns, with_containment=False, with_simhash_pass=False
         )
         n = res["clusters"].select("cluster_id").distinct().count()
         return time.time() - t0, n
@@ -137,6 +188,7 @@ def main() -> None:
             delta_turns,
             spark.read.parquet(signed_p),
             spark.read.parquet(clusters_p),
+            prior_turns=prior_turns if grown_pct > 0 else None,
         )
         n = res["clusters"].select("cluster_id").distinct().count()
         res["cleanup"]()
@@ -188,6 +240,7 @@ def main() -> None:
         delta_turns,
         spark.read.parquet(signed_p),
         spark.read.parquet(clusters_p),
+        prior_turns=prior_turns if grown_pct > 0 else None,
     )
     stats_row = res["stats"].collect()[0].asDict()
     res["cleanup"]()
@@ -201,6 +254,8 @@ def main() -> None:
         "n_turns": n_turns,
         "delta_pct": delta_pct,
         "n_delta_conversations": n_delta,
+        "grown_pct": grown_pct,
+        "n_grown_conversations": n_grown,
         "n_delta_turns": n_delta_turns,
         "prior_state_build_s": state_build_s,
         "cycles": runs,
@@ -223,7 +278,11 @@ def main() -> None:
     probe_docs.unpersist()
     spark.stop()
     shutil.rmtree(scratch, ignore_errors=True)
-    with open(os.path.join(REPO, "data", "incremental_bench.json"), "w") as f:
+    out_name = (
+        "incremental_bench_grown.json" if grown_pct > 0
+        else "incremental_bench.json"
+    )
+    with open(os.path.join(REPO, "data", out_name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
