@@ -240,15 +240,36 @@ def run_headline_round(rnd: int, out_json: str) -> None:
 
 
 def _subprocess_unit(args: list[str], tag: str, scratch: str) -> tuple[dict | None, str]:
-    """Run a bench subprocess; return (parsed result json, errors summary)."""
+    """Run a bench subprocess; return (parsed result json, errors summary).
+
+    Hard per-unit timeout (SPARK_GRAFT_LEG_TIMEOUT_S, default 1800s):
+    PySpark launch can deadlock outright on this host (observed r4: python
+    driver blocked in py4j recv, JVM main blocked reading its launch pipe,
+    zero CPU on an otherwise idle machine) — without a timeout one stuck
+    leg hangs the whole bench run.  The unit runs in its own process group
+    so the kill takes the orphaned JVM down with it; the leg is recorded
+    as errors="hang_timeout" and the scheduler moves on."""
+    timeout_s = int(os.environ.get("SPARK_GRAFT_LEG_TIMEOUT_S", "1800"))
     out_json = os.path.join(scratch, f"{tag}.json")
     err_path = os.path.join(scratch, f"{tag}.stderr")
     with open(err_path, "w") as errf:
-        rc = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), *args, out_json],
             stdout=subprocess.DEVNULL, stderr=errf,
             env={**os.environ, "PYTHONPATH": REPO},
-        ).returncode
+            start_new_session=True,
+        )
+        try:
+            rc = proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            import signal
+
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            proc.wait()
+            return None, "hang_timeout"
     errors = classify_stderr(err_path)
     if rc != 0:
         errors = (errors + "," if errors != "none" else "") + f"exit:{rc}"

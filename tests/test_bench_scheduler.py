@@ -561,3 +561,38 @@ def test_assemble_guard_reports_missing_kernel_key(tmp_path):
     }))
     with pytest.raises(SystemExit, match="legs disagree on kernel_n_turns"):
         als.assemble("xl4", 2, 8, [str(p1), str(p2)])
+
+
+def test_subprocess_unit_kills_hung_leg(tmp_path, monkeypatch):
+    """Regression (r4, observed live): PySpark launch can deadlock outright
+    (python driver blocked in py4j recv, JVM main blocked on its launch
+    pipe, zero CPU) — _subprocess_unit must kill the unit's whole process
+    group after SPARK_GRAFT_LEG_TIMEOUT_S and record errors='hang_timeout'
+    instead of hanging the entire bench run."""
+    import subprocess
+    import time
+
+    sleeper = tmp_path / "sleeper.sh"
+    # the sleeper spawns a child of its own so the test also proves the
+    # PROCESS-GROUP kill (a plain proc.kill would orphan the grandchild JVM)
+    sleeper.write_text("#!/bin/sh\nsleep 300 &\nCHILD=$!\necho $CHILD > "
+                       f"{tmp_path}/child.pid\nwait $CHILD\n")
+    sleeper.chmod(0o755)
+    monkeypatch.setattr(bench.sys, "executable", str(sleeper))
+    monkeypatch.setenv("SPARK_GRAFT_LEG_TIMEOUT_S", "1")
+    t0 = time.time()
+    r, errors = bench._subprocess_unit(["--leg", "1", "x"], "t", str(tmp_path))
+    assert r is None
+    assert errors == "hang_timeout"
+    assert time.time() - t0 < 30
+    # grandchild must be dead too (killpg, not kill)
+    child_pid = int((tmp_path / "child.pid").read_text().strip())
+    for _ in range(50):
+        try:
+            os.kill(child_pid, 0)
+        except ProcessLookupError:
+            break
+        time.sleep(0.1)
+    else:
+        subprocess.run(["kill", "-9", str(child_pid)])
+        raise AssertionError("grandchild survived the process-group kill")
