@@ -120,21 +120,11 @@ def _force(df) -> int:
 
 
 def _warm_python_workers(spark, cores: int) -> None:
-    """Prime the Python worker pool (fork + numpy/pandas/pyarrow import +
-    kernel JIT paths) before the timed region — session-fixed cost, not
-    pipeline cost.  Uses the REAL signature UDFs over one tiny row per
-    core, so exactly the worker state the pipeline needs is warm."""
-    from pyspark.sql import functions as F
+    """Delegates to bibexpy_spark.session.warm_python_workers (moved there
+    so jobs/dedup_job.py --bench-json shares the identical warmup)."""
+    from bibexpy_spark.session import warm_python_workers
 
-    from bibexpy_spark.config import CANONICAL
-    from bibexpy_spark.functions import udfs
-
-    tiny = spark.range(0, cores * 4, 1, cores).select(
-        F.concat(F.lit("warm sample text "), F.col("id").cast("string")).alias("doc")
-    )
-    udfs.with_signature_columns(tiny, CANONICAL).select(
-        F.sum(F.size("band_hashes"))
-    ).collect()
+    warm_python_workers(spark, cores)
 
 
 # ---------------------------------------------------------------------------
@@ -945,6 +935,43 @@ def _write_bench_md(result, per_corpus) -> None:
             "an UNDERSTATEMENT of the production gap, where those scans",
             "become maintained state tables and the corpus is 10^6x the",
             "delta instead of 100x.",
+        ]
+
+    submit_path = os.path.join(REPO, "data", "submit_scaling.json")
+    if os.path.exists(submit_path):
+        sb = json.load(open(submit_path))
+        lo, hi = sb["pair"]
+        lines += [
+            "",
+            "## spark-submit deployment scaling (the north rule's literal mode)",
+            "",
+            f"The in-process legs above measure the pipeline; this series "
+            f"runs the ACTUAL deployment artifact — `spark-submit --master "
+            f"local[N] --py-files bibexpy_spark.zip jobs/dedup_job.py` — "
+            f"at local[{lo}] vs local[{hi}] on "
+            f"{sb['corpus']} ({sb['n_turns']} turns).  Wall timed inside "
+            "the job: pipeline DAG + all output writes (clusters, dup "
+            "edges, signed state), after the python-worker warmup.  Same "
+            "DAG config as the bench legs (--no-simhash, no containment); "
+            "cluster counts asserted equal across every leg "
+            f"({sb['n_clusters']}).",
+            "",
+            "| leg | cores | wall (s) | errors |",
+            "|---|---|---|---|",
+        ]
+        for i, r in enumerate(sb["legs"]):
+            if r.get("failed"):
+                lines.append(f"| {i} | {r['cores']} | FAILED | {r['errors']} |")
+            else:
+                lines.append(
+                    f"| {i} | {r['cores']} | {r['wall_s']} | {r['errors']} |"
+                )
+        lines += [
+            "",
+            f"Paired cycles {sb['paired_cycles']} — best "
+            f"**{sb['paired_best']}**; minima-based efficiency "
+            f"{sb['efficiency_minima']} (walls "
+            f"{sb['wall_s_min']}).  {sb['protocol']}.",
         ]
 
     grown_path = os.path.join(REPO, "data", "incremental_bench_grown.json")

@@ -38,3 +38,23 @@ def build_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, cores: int) -> None:
+    """Prime the Python worker pool (fork + numpy/pandas/pyarrow import +
+    kernel JIT paths) before a timed region — session-fixed cost, not
+    pipeline cost; on a real cluster each executor pays it once per
+    session.  Uses the REAL signature UDFs over one tiny row per core, so
+    exactly the worker state the pipeline needs is warm.  (Shared by
+    bench.py legs and jobs/dedup_job.py --bench-json.)"""
+    from pyspark.sql import functions as F
+
+    from bibexpy_spark.config import CANONICAL
+    from bibexpy_spark.functions import udfs
+
+    tiny = spark.range(0, cores * 4, 1, cores).select(
+        F.concat(F.lit("warm sample text "), F.col("id").cast("string")).alias("doc")
+    )
+    udfs.with_signature_columns(tiny, CANONICAL).select(
+        F.sum(F.size("band_hashes"))
+    ).collect()

@@ -106,6 +106,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="prior simhash_pairs state")
     ap.add_argument("--make-zip", action="store_true",
                     help="write bibexpy_spark.zip for --py-files and exit")
+    ap.add_argument("--bench-json", default=None,
+                    help="write a scaling-leg JSON (cores, n_turns, wall_s, "
+                         "n_clusters) for tools/submit_scaling.py: the wall "
+                         "covers the pipeline DAG plus all output writes, "
+                         "after a python-worker warmup (session-fixed cost, "
+                         "paid once per executor on a real cluster)")
     args = ap.parse_args(argv)
 
     if args.make_zip:
@@ -296,6 +302,16 @@ def main(argv: list[str] | None = None) -> None:
         spark.stop()
         return
 
+    t_bench = None
+    if args.bench_json:
+        import time
+
+        from bibexpy_spark.session import warm_python_workers
+
+        n_turns_bench = turns.count()
+        warm_python_workers(spark, spark.sparkContext.defaultParallelism)
+        t_bench = time.time()
+
     run = None
     if args.run_dir:
         # plan-shaping flags ride the freshness token: a stage manifest is
@@ -344,6 +360,27 @@ def main(argv: list[str] | None = None) -> None:
     res["signed"].select(*_sig_cols).write.mode("overwrite").parquet(
         os.path.join(args.output, "signed")
     )
+    if t_bench is not None:
+        import json
+        import time
+
+        wall = time.time() - t_bench
+        from pyspark.sql import functions as F
+
+        n_clusters = (
+            spark.read.parquet(os.path.join(args.output, "clusters"))
+            .agg(F.countDistinct("cluster_id").alias("n")).collect()[0]["n"]
+        )
+        with open(args.bench_json, "w") as f:
+            json.dump(
+                {
+                    "cores": spark.sparkContext.defaultParallelism,
+                    "n_turns": n_turns_bench,
+                    "wall_s": round(wall, 2),
+                    "n_clusters": n_clusters,
+                },
+                f,
+            )
     n = res["clusters"].count()
     print(f"dedup_job: wrote {n} cluster assignments to {args.output}",
           file=sys.stderr)
