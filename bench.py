@@ -971,7 +971,11 @@ def _write_bench_md(result, per_corpus) -> None:
             f"Paired cycles {sb['paired_cycles']} — best "
             f"**{sb['paired_best']}**; minima-based efficiency "
             f"{sb['efficiency_minima']} (walls "
-            f"{sb['wall_s_min']}).  {sb['protocol']}.",
+            f"{sb['wall_s_min']}).  {sb['protocol']}.  These legs carry "
+            "no kernel probe, so phase attribution rides the in-process "
+            "series above (same host, same corpus, interleaved sessions); "
+            "legs accumulate across sessions under the same minima "
+            "protocol as the main record.",
         ]
 
     grown_path = os.path.join(REPO, "data", "incremental_bench_grown.json")

@@ -122,10 +122,6 @@ def main() -> None:
             legs.append(r)
             print(json.dumps(r), flush=True)
 
-    ok = [r for r in legs if not r.get("failed")]
-    n_cl = {r["n_clusters"] for r in ok}
-    if len(n_cl) > 1:
-        raise SystemExit(f"cluster counts diverged across legs: {sorted(n_cl)}")
     pair_cycles = []
     for i in range(0, len(legs) - 1, 2):
         a, b = legs[i], legs[i + 1]
@@ -134,6 +130,26 @@ def main() -> None:
         pair_cycles.append(
             round((a["wall_s"] / b["wall_s"]) / (hi / lo), 3)
         )
+
+    # cross-session accumulation (same minima protocol as the main bench
+    # record): a prior submit_scaling.json for the SAME corpus/pair
+    # contributes its legs and paired cycles — cycles never pair across the
+    # session boundary (each session's legs alternate lo,hi and end on hi,
+    # so per-session cycle lists concatenate cleanly)
+    out_path = os.path.join(REPO, "data", "submit_scaling.json")
+    if os.path.exists(out_path):
+        prior = json.load(open(out_path))
+        if (
+            prior.get("corpus") == os.path.basename(corpus)
+            and prior.get("pair") == [lo, hi]
+        ):
+            legs = prior["legs"] + legs
+            pair_cycles = prior["paired_cycles"] + pair_cycles
+
+    ok = [r for r in legs if not r.get("failed")]
+    n_cl = {r["n_clusters"] for r in ok}
+    if len(n_cl) > 1:
+        raise SystemExit(f"cluster counts diverged across legs: {sorted(n_cl)}")
     by_level: dict[int, list[float]] = {lo: [], hi: []}
     for r in ok:
         by_level[r["cores"]].append(r["wall_s"])
@@ -160,7 +176,7 @@ def main() -> None:
             "phase-flip cycles excluded from paired_best"
         ),
     }
-    with open(os.path.join(REPO, "data", "submit_scaling.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     shutil.rmtree(scratch, ignore_errors=True)
