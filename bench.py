@@ -949,33 +949,45 @@ def _write_bench_md(result, per_corpus) -> None:
             f"runs the ACTUAL deployment artifact — `spark-submit --master "
             f"local[N] --py-files bibexpy_spark.zip jobs/dedup_job.py` — "
             f"at local[{lo}] vs local[{hi}] on "
-            f"{sb['corpus']} ({sb['n_turns']} turns).  Wall timed inside "
-            "the job: pipeline DAG + all output writes (clusters, dup "
-            "edges, signed state), after the python-worker warmup.  Same "
-            "DAG config as the bench legs (--no-simhash, no containment); "
-            "cluster counts asserted equal across every leg "
-            f"({sb['n_clusters']}).",
+            f"{sb['corpus']} ({sb['n_turns']} turns).  Timed inside the "
+            "job after the python-worker warmup: COMPUTE wall = cluster "
+            "materialization (countDistinct — the bench legs' exact "
+            "protocol); TOTAL wall adds all output writes (clusters, dup "
+            "edges, signed state — a near-constant single-disk I/O term "
+            "in this sandbox that measures the disk, not the plan; a real "
+            "cluster writes through per-executor disks/object-store "
+            "parallelism).  Same DAG config as the bench legs "
+            "(--no-simhash, no containment); cluster counts asserted "
+            f"equal across every leg ({sb['n_clusters']}).",
             "",
-            "| leg | cores | wall (s) | errors |",
-            "|---|---|---|---|",
+            "| leg | cores | compute wall (s) | total wall (s) | errors |",
+            "|---|---|---|---|---|",
         ]
         for i, r in enumerate(sb["legs"]):
             if r.get("failed"):
-                lines.append(f"| {i} | {r['cores']} | FAILED | {r['errors']} |")
+                lines.append(
+                    f"| {i} | {r['cores']} | FAILED | FAILED | {r['errors']} |"
+                )
             else:
                 lines.append(
-                    f"| {i} | {r['cores']} | {r['wall_s']} | {r['errors']} |"
+                    f"| {i} | {r['cores']} | {r.get('wall_compute_s', '—')} "
+                    f"| {r['wall_s']} | {r['errors']} |"
                 )
         lines += [
             "",
-            f"Paired cycles {sb['paired_cycles']} — best "
-            f"**{sb['paired_best']}**; minima-based efficiency "
-            f"{sb['efficiency_minima']} (walls "
-            f"{sb['wall_s_min']}).  {sb['protocol']}.  These legs carry "
-            "no kernel probe, so phase attribution rides the in-process "
-            "series above (same host, same corpus, interleaved sessions); "
-            "legs accumulate across sessions under the same minima "
-            "protocol as the main record.",
+            f"Compute-wall paired cycles {sb['paired_cycles_compute']} — "
+            f"best **{sb['paired_best_compute']}**, minima-based "
+            f"{sb['efficiency_minima_compute']} (walls "
+            f"{sb['wall_compute_s_min']}).  Total-wall paired cycles "
+            f"{sb['paired_cycles_total']} — best "
+            f"**{sb['paired_best_total']}**, minima-based "
+            f"{sb['efficiency_minima_total']} (walls {sb['wall_s_min']}).  "
+            f"{sb['protocol']}.  These legs carry no kernel probe, so "
+            "phase attribution rides the in-process series above (same "
+            "host, same corpus, interleaved sessions); legs accumulate "
+            "across sessions under the same minima protocol as the main "
+            "record (legs predating the compute/total split carry only "
+            "the total wall).",
         ]
 
     grown_path = os.path.join(REPO, "data", "incremental_bench_grown.json")

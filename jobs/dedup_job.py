@@ -338,6 +338,23 @@ def main(argv: list[str] | None = None) -> None:
         containment_mode=args.containment_mode,
         extra_cluster_edges=edges,
     )
+    n_clusters_bench = None
+    wall_compute = None
+    if t_bench is not None:
+        # compute wall: cluster materialization via countDistinct — the
+        # bench legs' exact protocol, through the REAL deployment artifact.
+        # The output writes are timed separately (wall_s total below):
+        # on this single-disk sandbox the write term is a near-constant
+        # I/O cost that does not scale with cores, so folding it into the
+        # efficiency ratio would measure the disk, not the plan.
+        import time
+
+        from pyspark.sql import functions as F
+
+        n_clusters_bench = res["clusters"].agg(
+            F.countDistinct("cluster_id").alias("n")
+        ).collect()[0]["n"]
+        wall_compute = time.time() - t_bench
     res["clusters"].write.mode("overwrite").parquet(
         os.path.join(args.output, "clusters")
     )
@@ -365,19 +382,14 @@ def main(argv: list[str] | None = None) -> None:
         import time
 
         wall = time.time() - t_bench
-        from pyspark.sql import functions as F
-
-        n_clusters = (
-            spark.read.parquet(os.path.join(args.output, "clusters"))
-            .agg(F.countDistinct("cluster_id").alias("n")).collect()[0]["n"]
-        )
         with open(args.bench_json, "w") as f:
             json.dump(
                 {
                     "cores": spark.sparkContext.defaultParallelism,
                     "n_turns": n_turns_bench,
                     "wall_s": round(wall, 2),
-                    "n_clusters": n_clusters,
+                    "wall_compute_s": round(wall_compute, 2),
+                    "n_clusters": n_clusters_bench,
                 },
                 f,
             )

@@ -122,20 +122,13 @@ def main() -> None:
             legs.append(r)
             print(json.dumps(r), flush=True)
 
-    pair_cycles = []
-    for i in range(0, len(legs) - 1, 2):
-        a, b = legs[i], legs[i + 1]
-        if a.get("failed") or b.get("failed"):
-            continue
-        pair_cycles.append(
-            round((a["wall_s"] / b["wall_s"]) / (hi / lo), 3)
-        )
-
     # cross-session accumulation (same minima protocol as the main bench
     # record): a prior submit_scaling.json for the SAME corpus/pair
-    # contributes its legs and paired cycles — cycles never pair across the
-    # session boundary (each session's legs alternate lo,hi and end on hi,
-    # so per-session cycle lists concatenate cleanly)
+    # contributes its legs; all cycle/minima stats recompute from the full
+    # leg list.  Cycles never pair across a session boundary: every session
+    # emits alternating lo,hi legs, and the cores guard below drops any
+    # pairing desynchronized by a failed leg instead of ratioing walls from
+    # different cycles.
     out_path = os.path.join(REPO, "data", "submit_scaling.json")
     if os.path.exists(out_path):
         prior = json.load(open(out_path))
@@ -144,36 +137,66 @@ def main() -> None:
             and prior.get("pair") == [lo, hi]
         ):
             legs = prior["legs"] + legs
-            pair_cycles = prior["paired_cycles"] + pair_cycles
+
+    def _cycles(key: str) -> list[float]:
+        out = []
+        for i in range(0, len(legs) - 1, 2):
+            a, b = legs[i], legs[i + 1]
+            if a.get("failed") or b.get("failed"):
+                continue
+            if a.get("cores") != lo or b.get("cores") != hi:
+                continue
+            if key not in a or key not in b:
+                continue  # legs from before the compute/total wall split
+            out.append(round((a[key] / b[key]) / (hi / lo), 3))
+        return out
 
     ok = [r for r in legs if not r.get("failed")]
     n_cl = {r["n_clusters"] for r in ok}
     if len(n_cl) > 1:
         raise SystemExit(f"cluster counts diverged across legs: {sorted(n_cl)}")
-    by_level: dict[int, list[float]] = {lo: [], hi: []}
-    for r in ok:
-        by_level[r["cores"]].append(r["wall_s"])
-    minima_eff = (
-        round((min(by_level[lo]) / min(by_level[hi])) / (hi / lo), 3)
-        if by_level[lo] and by_level[hi] else None
-    )
+
+    def _minima(key: str) -> tuple[dict, float | None]:
+        by_level: dict[int, list[float]] = {lo: [], hi: []}
+        for r in ok:
+            if key in r:
+                by_level[r["cores"]].append(r[key])
+        eff = (
+            round((min(by_level[lo]) / min(by_level[hi])) / (hi / lo), 3)
+            if by_level[lo] and by_level[hi] else None
+        )
+        return (
+            {str(c): (min(v) if v else None) for c, v in by_level.items()},
+            eff,
+        )
+
+    cycles_compute = _cycles("wall_compute_s")
+    cycles_total = _cycles("wall_s")
+    min_compute, eff_compute = _minima("wall_compute_s")
+    min_total, eff_total = _minima("wall_s")
     out = {
         "corpus": os.path.basename(corpus),
         "n_turns": ok[0]["n_turns"] if ok else None,
         "n_clusters": sorted(n_cl)[0] if n_cl else None,
         "pair": [lo, hi],
         "legs": legs,
-        "paired_cycles": pair_cycles,
-        "paired_best": paired_best(pair_cycles),
-        "efficiency_minima": minima_eff,
-        "wall_s_min": {str(c): (min(v) if v else None)
-                       for c, v in by_level.items()},
+        "paired_cycles_compute": cycles_compute,
+        "paired_best_compute": paired_best(cycles_compute),
+        "paired_cycles_total": cycles_total,
+        "paired_best_total": paired_best(cycles_total),
+        "efficiency_minima_compute": eff_compute,
+        "efficiency_minima_total": eff_total,
+        "wall_compute_s_min": min_compute,
+        "wall_s_min": min_total,
         "total_harness_s": round(time.time() - t_start, 1),
         "protocol": (
             "spark-submit --py-files bibexpy_spark.zip jobs/dedup_job.py "
-            "--no-simhash; wall timed inside the job (pipeline + output "
-            "writes, post worker-warmup); alternating same-phase cycles; "
-            "phase-flip cycles excluded from paired_best"
+            "--no-simhash; timed inside the job post worker-warmup: "
+            "compute wall = cluster materialization (countDistinct — the "
+            "bench legs' protocol), total wall adds all output writes "
+            "(near-constant single-disk I/O term in this sandbox); "
+            "alternating same-phase cycles; phase-flip cycles excluded "
+            "from paired_best"
         ),
     }
     with open(out_path, "w") as f:
