@@ -596,3 +596,39 @@ def test_subprocess_unit_kills_hung_leg(tmp_path, monkeypatch):
     else:
         subprocess.run(["kill", "-9", str(child_pid)])
         raise AssertionError("grandchild survived the process-group kill")
+
+
+def test_submit_scaling_cycle_pairing_guards():
+    """tools/submit_scaling evidence math: a failed leg keeps its slot so
+    later cycles stay aligned; mixed-format legs (pre compute/total split)
+    contribute only to the total-wall series; the minima walls skip failed
+    and keyless legs."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from submit_scaling import compute_cycles, minima_efficiency
+
+    legs = [
+        # old-format cycle (total wall only)
+        {"cores": 2, "wall_s": 280.0, "n_clusters": 9},
+        {"cores": 8, "wall_s": 100.0, "n_clusters": 9},
+        # new-format clean cycle
+        {"cores": 2, "wall_s": 260.0, "wall_compute_s": 240.0, "n_clusters": 9},
+        {"cores": 8, "wall_s": 84.0, "wall_compute_s": 75.0, "n_clusters": 9},
+        # failed hi leg: its lo mate must NOT pair with the next cycle's hi
+        {"cores": 2, "wall_s": 250.0, "wall_compute_s": 230.0, "n_clusters": 9},
+        {"cores": 8, "errors": "hang_timeout", "failed": True},
+        # trailing clean cycle after the failure
+        {"cores": 2, "wall_s": 270.0, "wall_compute_s": 250.0, "n_clusters": 9},
+        {"cores": 8, "wall_s": 90.0, "wall_compute_s": 80.0, "n_clusters": 9},
+    ]
+    assert compute_cycles(legs, 2, 8, "wall_compute_s") == [0.8, 0.781]
+    assert compute_cycles(legs, 2, 8, "wall_s") == [0.7, 0.774, 0.75]
+    walls, eff = minima_efficiency(legs, 2, 8, "wall_compute_s")
+    assert walls == {"2": 230.0, "8": 75.0}
+    assert eff == 0.767
+    walls_t, eff_t = minima_efficiency(legs, 2, 8, "wall_s")
+    assert walls_t == {"2": 250.0, "8": 84.0}
+    # a desynchronized list (lo paired with lo after a DROPPED slot) yields
+    # no fabricated cycle
+    dropped = legs[:5] + legs[6:]  # failed slot removed entirely
+    assert compute_cycles(dropped, 2, 8, "wall_compute_s") == [0.8]

@@ -34,6 +34,46 @@ sys.path.insert(0, REPO)
 from bench import classify_stderr, paired_best  # noqa: E402
 
 
+def compute_cycles(legs: list[dict], lo: int, hi: int, key: str) -> list[float]:
+    """Per-cycle efficiencies from the accumulated leg list.
+
+    A cycle is an ADJACENT (lo, hi) leg pair; the cores guard drops any
+    pairing desynchronized by a failed leg (a dict with failed=True keeps
+    its slot, so later cycles stay aligned) instead of ratioing walls from
+    different cycles.  Legs predating the compute/total wall split lack
+    wall_compute_s and are skipped for that key."""
+    out = []
+    for i in range(0, len(legs) - 1, 2):
+        a, b = legs[i], legs[i + 1]
+        if a.get("failed") or b.get("failed"):
+            continue
+        if a.get("cores") != lo or b.get("cores") != hi:
+            continue
+        if key not in a or key not in b:
+            continue
+        out.append(round((a[key] / b[key]) / (hi / lo), 3))
+    return out
+
+
+def minima_efficiency(
+    legs: list[dict], lo: int, hi: int, key: str
+) -> tuple[dict, float | None]:
+    """Per-level minimum walls and the minima-based efficiency for one
+    wall key, over non-failed legs carrying that key."""
+    by_level: dict[int, list[float]] = {lo: [], hi: []}
+    for r in legs:
+        if not r.get("failed") and key in r and r.get("cores") in by_level:
+            by_level[r["cores"]].append(r[key])
+    eff = (
+        round((min(by_level[lo]) / min(by_level[hi])) / (hi / lo), 3)
+        if by_level[lo] and by_level[hi] else None
+    )
+    return (
+        {str(c): (min(v) if v else None) for c, v in by_level.items()},
+        eff,
+    )
+
+
 def submit_leg(
     cores: int, zip_path: str, corpus: str, scratch: str, tag: str
 ) -> tuple[dict | None, str]:
@@ -138,42 +178,15 @@ def main() -> None:
         ):
             legs = prior["legs"] + legs
 
-    def _cycles(key: str) -> list[float]:
-        out = []
-        for i in range(0, len(legs) - 1, 2):
-            a, b = legs[i], legs[i + 1]
-            if a.get("failed") or b.get("failed"):
-                continue
-            if a.get("cores") != lo or b.get("cores") != hi:
-                continue
-            if key not in a or key not in b:
-                continue  # legs from before the compute/total wall split
-            out.append(round((a[key] / b[key]) / (hi / lo), 3))
-        return out
-
     ok = [r for r in legs if not r.get("failed")]
     n_cl = {r["n_clusters"] for r in ok}
     if len(n_cl) > 1:
         raise SystemExit(f"cluster counts diverged across legs: {sorted(n_cl)}")
 
-    def _minima(key: str) -> tuple[dict, float | None]:
-        by_level: dict[int, list[float]] = {lo: [], hi: []}
-        for r in ok:
-            if key in r:
-                by_level[r["cores"]].append(r[key])
-        eff = (
-            round((min(by_level[lo]) / min(by_level[hi])) / (hi / lo), 3)
-            if by_level[lo] and by_level[hi] else None
-        )
-        return (
-            {str(c): (min(v) if v else None) for c, v in by_level.items()},
-            eff,
-        )
-
-    cycles_compute = _cycles("wall_compute_s")
-    cycles_total = _cycles("wall_s")
-    min_compute, eff_compute = _minima("wall_compute_s")
-    min_total, eff_total = _minima("wall_s")
+    cycles_compute = compute_cycles(legs, lo, hi, "wall_compute_s")
+    cycles_total = compute_cycles(legs, lo, hi, "wall_s")
+    min_compute, eff_compute = minima_efficiency(legs, lo, hi, "wall_compute_s")
+    min_total, eff_total = minima_efficiency(legs, lo, hi, "wall_s")
     out = {
         "corpus": os.path.basename(corpus),
         "n_turns": ok[0]["n_turns"] if ok else None,
