@@ -137,15 +137,22 @@ def main() -> None:
 
         corpus = corpus_mod.write_parquet(corpus, 480_000, seed=45)
 
-    scratch = os.path.join(REPO, "data", "scratch_submit_scaling")
-    shutil.rmtree(scratch, ignore_errors=True)
-    os.makedirs(scratch)
-    zip_path = os.path.join(scratch, "bibexpy_spark.zip")
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "jobs", "dedup_job.py"),
-         "--make-zip"],
-        cwd=scratch, check=True, stdout=subprocess.DEVNULL,
+    # per-process scratch: a shared dir let a concurrent re-aggregation run
+    # (cycles=0) wipe the zip out from under an in-flight session's legs
+    # (observed r4 — the legs died with exit:1 through no fault of the
+    # pipeline).  cycles=0 touches no scratch at all.
+    scratch = os.path.join(
+        REPO, "data", f"scratch_submit_scaling_{os.getpid()}"
     )
+    if cycles > 0:
+        shutil.rmtree(scratch, ignore_errors=True)
+        os.makedirs(scratch)
+        zip_path = os.path.join(scratch, "bibexpy_spark.zip")
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "dedup_job.py"),
+             "--make-zip"],
+            cwd=scratch, check=True, stdout=subprocess.DEVNULL,
+        )
 
     legs: list[dict] = []
     t_start = time.time()
