@@ -628,7 +628,14 @@ def test_submit_scaling_cycle_pairing_guards():
     assert eff == 0.767
     walls_t, eff_t = minima_efficiency(legs, 2, 8, "wall_s")
     assert walls_t == {"2": 250.0, "8": 84.0}
-    # a desynchronized list (lo paired with lo after a DROPPED slot) yields
-    # no fabricated cycle
+    # removing a slot entirely must not desynchronize later cycles
+    # (r4 regression: stride-2 indexing dropped every cycle after an
+    # odd-length prefix); walk-pairing recovers the adjacent (lo, hi)
+    # launch pairs and never fabricates a non-adjacent one
     dropped = legs[:5] + legs[6:]  # failed slot removed entirely
-    assert compute_cycles(dropped, 2, 8, "wall_compute_s") == [0.8]
+    assert compute_cycles(dropped, 2, 8, "wall_compute_s") == [0.8, 0.781]
+    # lo followed by lo never pairs
+    assert compute_cycles(
+        [{"cores": 2, "wall_s": 100.0}, {"cores": 2, "wall_s": 90.0},
+         {"cores": 8, "wall_s": 30.0}], 2, 8, "wall_s"
+    ) == [0.75]

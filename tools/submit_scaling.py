@@ -37,21 +37,29 @@ from bench import classify_stderr, paired_best  # noqa: E402
 def compute_cycles(legs: list[dict], lo: int, hi: int, key: str) -> list[float]:
     """Per-cycle efficiencies from the accumulated leg list.
 
-    A cycle is an ADJACENT (lo, hi) leg pair; the cores guard drops any
-    pairing desynchronized by a failed leg (a dict with failed=True keeps
-    its slot, so later cycles stay aligned) instead of ratioing walls from
-    different cycles.  Legs predating the compute/total wall split lack
-    wall_compute_s and are skipped for that key."""
+    A cycle is an ADJACENT (lo, hi) leg pair in launch order — the
+    same-phase premise.  Walk-pairing (not stride-2 indexing): each lo leg
+    pairs with the IMMEDIATELY following leg iff that leg is a hi; any leg
+    that cannot head a valid pair (failed, wrong cores, missing the wall
+    key) is stepped over.  Stride indexing silently desynchronized after
+    an odd-length prefix (r4: three artifact legs removed from the record
+    shifted parity and dropped every later cycle); walk-pairing is
+    parity-free and still never ratios non-adjacent legs — sessions start
+    on lo, so a dangling trailing lo can only be followed by the next
+    session's lo, which does not pair."""
     out = []
-    for i in range(0, len(legs) - 1, 2):
+    i = 0
+    while i < len(legs) - 1:
         a, b = legs[i], legs[i + 1]
-        if a.get("failed") or b.get("failed"):
-            continue
-        if a.get("cores") != lo or b.get("cores") != hi:
-            continue
-        if key not in a or key not in b:
-            continue
-        out.append(round((a[key] / b[key]) / (hi / lo), 3))
+        if (
+            not a.get("failed") and not b.get("failed")
+            and a.get("cores") == lo and b.get("cores") == hi
+            and key in a and key in b
+        ):
+            out.append(round((a[key] / b[key]) / (hi / lo), 3))
+            i += 2
+        else:
+            i += 1
     return out
 
 
