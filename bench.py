@@ -229,6 +229,12 @@ def run_headline_round(rnd: int, out_json: str) -> None:
         json.dump(out, f)
 
 
+#: the currently running bench subprocess — the SIGTERM handler kills its
+#: process group before publishing the partial artifact (the child's JVM
+#: would otherwise outlive the bench and keep the driver window busy)
+_ACTIVE_PROC: subprocess.Popen | None = None
+
+
 def _subprocess_unit(args: list[str], tag: str, scratch: str) -> tuple[dict | None, str]:
     """Run a bench subprocess; return (parsed result json, errors summary).
 
@@ -239,6 +245,7 @@ def _subprocess_unit(args: list[str], tag: str, scratch: str) -> tuple[dict | No
     leg hangs the whole bench run.  The unit runs in its own process group
     so the kill takes the orphaned JVM down with it; the leg is recorded
     as errors="hang_timeout" and the scheduler moves on."""
+    global _ACTIVE_PROC
     timeout_s = int(os.environ.get("SPARK_GRAFT_LEG_TIMEOUT_S", "1800"))
     out_json = os.path.join(scratch, f"{tag}.json")
     err_path = os.path.join(scratch, f"{tag}.stderr")
@@ -249,6 +256,7 @@ def _subprocess_unit(args: list[str], tag: str, scratch: str) -> tuple[dict | No
             env={**os.environ, "PYTHONPATH": REPO},
             start_new_session=True,
         )
+        _ACTIVE_PROC = proc
         try:
             rc = proc.wait(timeout=timeout_s)
         except subprocess.TimeoutExpired:
@@ -260,6 +268,8 @@ def _subprocess_unit(args: list[str], tag: str, scratch: str) -> tuple[dict | No
                 proc.kill()
             proc.wait()
             return None, "hang_timeout"
+        finally:
+            _ACTIVE_PROC = None
     errors = classify_stderr(err_path)
     if rc != 0:
         errors = (errors + "," if errors != "none" else "") + f"exit:{rc}"
@@ -344,25 +354,228 @@ def _scaling_summary(
     return scaling, pairs
 
 
+def _data_dir() -> str:
+    """Artifact dir — SPARK_GRAFT_BENCH_WORKDIR isolates dev/test runs
+    (tiny-scale integration tests must not clobber the accumulated corpora,
+    record, or BENCH.md of the real repo)."""
+    return os.environ.get("SPARK_GRAFT_BENCH_WORKDIR") or os.path.join(
+        REPO, "data"
+    )
+
+
+def _bench_md_path() -> str:
+    wd = os.environ.get("SPARK_GRAFT_BENCH_WORKDIR")
+    return os.path.join(wd or REPO, "BENCH.md")
+
+
+def _partial_path() -> str:
+    return os.path.join(_data_dir(), "bench_partial.json")
+
+
+def _atomic_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
+def _build_result(
+    runs: dict, corpora: dict, all_rounds: dict, headline_errors: list,
+    sf: str,
+) -> tuple[dict, dict]:
+    """Assemble the publishable result dict + per-corpus view from whatever
+    has accumulated so far.  Callable after EVERY leg/round: the partial
+    artifact on disk and the SIGTERM summary line always reflect the
+    session state (VERDICT r4 #1 — an outer timeout left BENCH_r04.json
+    with parsed=null because the only JSON line printed at the very end)."""
+    kernel_best_by_level: dict[int, float] = {}
+    for name in runs:
+        for c, rs in runs[name].items():
+            for r in rs:
+                prev = kernel_best_by_level.get(c)
+                kernel_best_by_level[c] = (
+                    r["kernel_s"] if prev is None else min(prev, r["kernel_s"])
+                )
+    per_corpus: dict[str, dict] = {}
+    for name in corpora:
+        scaling, pairs = _scaling_summary(runs[name], kernel_best_by_level)
+        if scaling:
+            per_corpus[name] = {"scaling": scaling, "pairs": pairs}
+
+    per_query = {name: min(ts) for name, ts in all_rounds.items() if ts}
+    total = round(sum(per_query.values()), 2)
+    # primary = amortized 4x corpus (compute-dominated regime; see leg_order
+    # comment), north-rule pair local[1]->local[4]; its 2->8 and 8->32
+    # pairs ride along unprefixed.  2x corpus = secondary continuity series.
+    # the published primary_corpus must name the corpus that ACTUALLY
+    # served as primary: if every xl4 leg failed and the 2x corpus takes
+    # over, labeling it "xl4" would publish 240k-conv legs under the 4x
+    # narrative and let merge_bench_sessions mix corpora (r4 review)
+    primary_name = next(
+        (n for n in ("xl4", "xl") if per_corpus.get(n)), None
+    )
+    primary = per_corpus.get(primary_name) or {}
+    p_scaling = primary.get("scaling", {})
+    p_pairs = dict(primary.get("pairs", {}))
+    if primary_name != "xl":
+        for label, p in per_corpus.get("xl", {}).get("pairs", {}).items():
+            p_pairs.setdefault(f"xl_{label}", p)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "query_all_runs": {k: v for k, v in all_rounds.items() if v},
+        "headline_errors": headline_errors,
+        "sf": float(sf.replace("sf", "")) if sf.startswith("sf") else sf,
+        # FAST mode runs no legs; keep the current-scheme label there so
+        # --refresh-md picks the right branch for an empty session
+        "primary_corpus": primary_name or "xl4",
+        "pipeline": {f"local[{c}]": p_scaling[c] for c in p_scaling},
+        # when the 2x corpus itself is primary (xl4 fully failed), its legs
+        # live in "pipeline" only — duplicating them here would double-merge
+        "pipeline_xl": {
+            f"local[{c}]": v
+            for c, v in per_corpus.get("xl", {}).get("scaling", {}).items()
+        } if primary_name != "xl" else {},
+        "pipeline_std": {
+            f"local[{c}]": v
+            for c, v in per_corpus.get("std", {}).get("scaling", {}).items()
+        },
+        # best across legs, not highest-core: on this VM local[32] is SLOWER
+        # than local[8] (effective-core ceiling), and the metric is
+        # throughput, not core count — the level is published alongside
+        "throughput_turns_per_sec": (
+            max(s["turns_per_sec"] for s in p_scaling.values())
+            if p_scaling else None
+        ),
+        "throughput_level": (
+            f"local[{max(p_scaling, key=lambda c: p_scaling[c]['turns_per_sec'])}]"
+            if p_scaling else None
+        ),
+        "scaling_efficiency": p_pairs.get("linear_1_4", {}).get("efficiency"),
+        "scaling_efficiency_paired_best": p_pairs.get("linear_1_4", {}).get(
+            "paired_best"
+        ),
+        "kernel_scaling_efficiency": p_pairs.get("linear_1_4", {}).get(
+            "kernel_efficiency"
+        ),
+        "scaling_pairs": p_pairs,
+        "scaling_pairs_std": per_corpus.get("std", {}).get("pairs", {}),
+    }
+    return result, per_corpus
+
+
 def main() -> None:
+    import signal as _signal
+
     from bibexpy_spark import corpus
 
     sf = os.path.basename(SF_DIR.rstrip("/"))
     corpus.corpus_path_for_sf(SF_DIR)
-    scratch = os.path.join(REPO, "data", "bench_scratch")
+    scratch = os.path.join(_data_dir(), "bench_scratch")
     os.makedirs(scratch, exist_ok=True)
 
-    data = os.path.join(REPO, "data")
+    data = _data_dir()
     corpora: dict[str, str] = {}
+    runs: dict[str, dict[int, list[dict]]] = {}
+    all_rounds: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    headline_errors: list[str] = []
+    t_start = time.time()
+
+    # --- budget (VERDICT r4 #1) --------------------------------------------
+    # total_budget bounds the WHOLE run (corpora + legs + headline +
+    # publish) so it fits inside the driver's outer window (r4's artifact
+    # died rc=124 because the leg/adaptive gates only checked elapsed time
+    # at LAUNCH — a leg starting at t=budget-1 could run 700s past it, and
+    # the headline rounds queued after had no reserved room at all).
+    # Gates are ESTIMATE-based: a repeat unit launches only if its
+    # estimated duration (observed max at that (corpus, level) x 1.25 +
+    # 45s margin; measured subprocess wall incl. JVM boot) still fits.
+    total_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "4200"))
+    headline_reserve = float(
+        os.environ.get("SPARK_GRAFT_HEADLINE_RESERVE_S", "900")
+    )
+    legs_deadline = total_budget - headline_reserve
+    leg_walltime: dict[tuple[str, int], float] = {}
+
+    def _leg_estimate(name: str, c: int) -> float:
+        seen = leg_walltime.get((name, c))
+        return (seen * 1.25 + 45.0) if seen else 600.0
+
+    record_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_RECORD",
+        os.path.join(_data_dir(), "bench_r4_session.json"),
+    )
+    _terminating = []
+
+    def _publish_and_print(partial: bool) -> None:
+        result, per_corpus = _build_result(
+            runs, corpora, all_rounds, headline_errors, sf
+        )
+        if partial:
+            result["partial"] = True
+        if not FAST:
+            # a FAST smoke (single leg, no scaling pairs) must not clobber
+            # the committed full-run BENCH.md (code-review r2 finding)
+            try:
+                result = _publish(result, per_corpus, record_path)
+            except Exception as e:  # publish must never eat the summary line
+                print(f"[bench] publish failed ({e}); printing raw session",
+                      file=sys.stderr, flush=True)
+            if partial:
+                result["partial"] = True  # the merge drops unknown keys
+        _atomic_json(_partial_path(), result)
+        print(json.dumps(result))
+        sys.stdout.flush()
+
+    def _checkpoint() -> None:
+        """Atomic partial artifact after every completed unit — a hard
+        kill (SIGKILL skips even the SIGTERM path) still leaves the last
+        checkpoint parseable on disk."""
+        result, _pc = _build_result(
+            runs, corpora, all_rounds, headline_errors, sf
+        )
+        result["partial"] = True
+        _atomic_json(_partial_path(), result)
+
+    def _on_term(signum, frame):
+        if _terminating:
+            return
+        _terminating.append(signum)
+        print(f"[bench] signal {signum} at "
+              f"{round(time.time() - t_start, 1)}s — publishing partial "
+              "results", file=sys.stderr, flush=True)
+        proc = _ACTIVE_PROC
+        if proc is not None:
+            try:
+                os.killpg(proc.pid, _signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+        try:
+            _publish_and_print(partial=True)
+        finally:
+            os._exit(0)
+
+    _signal.signal(_signal.SIGTERM, _on_term)
+    _signal.signal(_signal.SIGINT, _on_term)
+
+    # corpus scale is a DEV/TEST knob (tiny end-to-end runs of the whole
+    # orchestrator); the record merge refuses mismatched n_turns, so a
+    # scaled session can never pollute the accumulated evidence
+    cscale = float(os.environ.get("SPARK_GRAFT_BENCH_CORPUS_SCALE", "1"))
     if not FAST:
         corpora["xl"] = corpus.write_parquet(
-            os.path.join(data, "transcripts_bench_xl.parquet"), 240_000, seed=44
+            os.path.join(data, "transcripts_bench_xl.parquet"),
+            max(50, int(240_000 * cscale)), seed=44
         )
         corpora["xl4"] = corpus.write_parquet(
-            os.path.join(data, "transcripts_bench_xl4.parquet"), 480_000, seed=45
+            os.path.join(data, "transcripts_bench_xl4.parquet"),
+            max(100, int(480_000 * cscale)), seed=45
         )
         corpora["std"] = corpus.write_parquet(
-            os.path.join(data, "transcripts_bench.parquet"), 120_000, seed=43
+            os.path.join(data, "transcripts_bench.parquet"),
+            max(25, int(120_000 * cscale)), seed=43
         )
 
     # --- scaling legs -------------------------------------------------------
@@ -402,20 +615,22 @@ def main() -> None:
         ("std", 2), ("std", 8),
         ("xl4", 2), ("xl4", 8), ("xl4", 32),
     ]
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "5400"))
-    t_start = time.time()
-    runs: dict[str, dict[int, list[dict]]] = {
+    runs.update({
         name: {1: [], 2: [], 4: [], 8: [], 32: []} for name in corpora
-    }
+    })
     # kernel pass always times the SAME reference slice (std corpus) so the
     # per-level kernel ratio is comparable and XL legs don't spend their
     # budget re-signing 4.5M turns outside the timed pipeline
     kernel_ref = corpora.get("std", "")
 
     def _do_leg(name: str, c: int, i: int, total: int) -> None:
+        t_leg = time.time()
         r, errors = _subprocess_unit(
             ["--leg", str(c), corpora[name], kernel_ref],
             f"leg_{i}_{name}_{c}", scratch,
+        )
+        leg_walltime[(name, c)] = max(
+            leg_walltime.get((name, c), 0.0), time.time() - t_leg
         )
         if r is None:
             print(f"[bench] leg {i + 1} {name} local[{c}] FAILED: {errors}",
@@ -430,13 +645,27 @@ def main() -> None:
             f"wall={r['wall_s']}s kernel={r['kernel_s']}s errors={errors}",
             file=sys.stderr, flush=True,
         )
+        _checkpoint()
 
     for i, (name, c) in enumerate([] if FAST else leg_order):
-        if time.time() - t_start > budget_s and runs[name][c]:
+        elapsed = time.time() - t_start
+        est = _leg_estimate(name, c)
+        if runs[name][c] and elapsed + est > legs_deadline:
             print(
-                f"[bench] budget {budget_s}s exhausted — skipping repeat leg "
+                f"[bench] legs deadline {legs_deadline}s (est {est:.0f}s, "
+                f"elapsed {elapsed:.0f}s) — skipping repeat leg "
                 f"{i + 1}/{len(leg_order)} {name} local[{c}]",
                 file=sys.stderr, flush=True,
+            )
+            continue
+        if not runs[name][c] and elapsed + est > total_budget - 120:
+            # even a FIRST run at a level yields to the artifact: a leg
+            # that would overrun the whole window risks parsed=null for
+            # everything already measured
+            print(
+                f"[bench] total budget {total_budget}s cannot fit first "
+                f"run of {name} local[{c}] (est {est:.0f}s, elapsed "
+                f"{elapsed:.0f}s) — skipping", file=sys.stderr, flush=True,
             )
             continue
         _do_leg(name, c, i, len(leg_order))
@@ -461,7 +690,7 @@ def main() -> None:
 
     i = len(leg_order)
     attempts = {leg: 0 for leg in PRIMARY_LEGS}
-    while not FAST and time.time() - t_start <= budget_s:
+    while not FAST:
         pending = [
             (n, c) for (n, c) in PRIMARY_LEGS
             if len(runs[n][c]) < max_runs and attempts[(n, c)] < max_runs
@@ -470,6 +699,14 @@ def main() -> None:
         if not pending:
             break
         name, c = min(pending, key=lambda t: len(runs[t[0]][t[1]]))
+        if time.time() - t_start + _leg_estimate(name, c) > legs_deadline:
+            print(
+                f"[bench] adaptive tail: {name} local[{c}] est "
+                f"{_leg_estimate(name, c):.0f}s does not fit the legs "
+                f"deadline {legs_deadline}s — stopping",
+                file=sys.stderr, flush=True,
+            )
+            break
         attempts[(name, c)] += 1
         print(
             f"[bench] adaptive: {name} local[{c}] has no clean-phase run "
@@ -480,25 +717,21 @@ def main() -> None:
         _do_leg(name, c, i, len(leg_order))
         i += 1
 
-    kernel_best_by_level: dict[int, float] = {}
-    for name in corpora:
-        for c, rs in runs[name].items():
-            for r in rs:
-                prev = kernel_best_by_level.get(c)
-                kernel_best_by_level[c] = (
-                    r["kernel_s"] if prev is None else min(prev, r["kernel_s"])
-                )
-    per_corpus = {}
-    for name in corpora:
-        scaling, pairs = _scaling_summary(runs[name], kernel_best_by_level)
-        if scaling:
-            per_corpus[name] = {"scaling": scaling, "pairs": pairs}
-
     # --- headline queries ---------------------------------------------------
+    # round 0 always runs (the headline reserve held room for it); later
+    # rounds launch only if the observed round duration still fits the
+    # total budget
     repeats = 1 if FAST else int(os.environ.get("SPARK_GRAFT_HEADLINE_REPEATS", "3"))
-    all_rounds: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    headline_errors = []
+    round_est = 300.0
     for rnd in range(repeats):
+        if rnd > 0 and time.time() - t_start + round_est > total_budget - 60:
+            print(
+                f"[bench] total budget {total_budget}s cannot fit headline "
+                f"round {rnd + 1}/{repeats} (est {round_est:.0f}s) — "
+                "stopping", file=sys.stderr, flush=True,
+            )
+            break
+        t_round = time.time()
         if FAST:
             run_headline_round(rnd, os.path.join(scratch, "headline_fast.json"))
             r = json.load(open(os.path.join(scratch, "headline_fast.json")))
@@ -507,6 +740,7 @@ def main() -> None:
             r, errors = _subprocess_unit(
                 ["--headline-round", str(rnd)], f"headline_{rnd}", scratch
             )
+        round_est = max(round_est, (time.time() - t_round) * 1.15)
         headline_errors.append(errors)
         if r is None:
             print(f"[bench] headline round {rnd} FAILED: {errors}",
@@ -517,79 +751,10 @@ def main() -> None:
         print(f"[bench] headline round {rnd + 1}/{repeats}: "
               f"total={round(sum(r.values()), 2)}s errors={errors}",
               file=sys.stderr, flush=True)
-    per_query = {name: min(ts) for name, ts in all_rounds.items() if ts}
+        if not FAST:
+            _checkpoint()
 
-    total = round(sum(per_query.values()), 2)
-    # primary = amortized 4x corpus (compute-dominated regime; see leg_order
-    # comment), north-rule pair local[1]->local[4]; its 2->8 and 8->32
-    # pairs ride along unprefixed.  2x corpus = secondary continuity series.
-    # the published primary_corpus must name the corpus that ACTUALLY
-    # served as primary: if every xl4 leg failed and the 2x corpus takes
-    # over, labeling it "xl4" would publish 240k-conv legs under the 4x
-    # narrative and let merge_bench_sessions mix corpora (r4 review)
-    primary_name = next(
-        (n for n in ("xl4", "xl") if per_corpus.get(n)), None
-    )
-    primary = per_corpus.get(primary_name) or {}
-    p_scaling = primary.get("scaling", {})
-    p_pairs = dict(primary.get("pairs", {}))
-    if primary_name != "xl":
-        for label, p in per_corpus.get("xl", {}).get("pairs", {}).items():
-            p_pairs.setdefault(f"xl_{label}", p)
-    result = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": per_query,
-        "query_all_runs": all_rounds,
-        "headline_errors": headline_errors,
-        "sf": float(sf.replace("sf", "")) if sf.startswith("sf") else sf,
-        # FAST mode runs no legs; keep the current-scheme label there so
-        # --refresh-md picks the right branch for an empty session
-        "primary_corpus": primary_name or "xl4",
-        "pipeline": {f"local[{c}]": p_scaling[c] for c in p_scaling},
-        # when the 2x corpus itself is primary (xl4 fully failed), its legs
-        # live in "pipeline" only — duplicating them here would double-merge
-        "pipeline_xl": {
-            f"local[{c}]": v
-            for c, v in per_corpus.get("xl", {}).get("scaling", {}).items()
-        } if primary_name != "xl" else {},
-        "pipeline_std": {
-            f"local[{c}]": v
-            for c, v in per_corpus.get("std", {}).get("scaling", {}).items()
-        },
-        # best across legs, not highest-core: on this VM local[32] is SLOWER
-        # than local[8] (effective-core ceiling), and the metric is
-        # throughput, not core count — the level is published alongside
-        "throughput_turns_per_sec": (
-            max(s["turns_per_sec"] for s in p_scaling.values())
-            if p_scaling else None
-        ),
-        "throughput_level": (
-            f"local[{max(p_scaling, key=lambda c: p_scaling[c]['turns_per_sec'])}]"
-            if p_scaling else None
-        ),
-        "scaling_efficiency": p_pairs.get("linear_1_4", {}).get("efficiency"),
-        "scaling_efficiency_paired_best": p_pairs.get("linear_1_4", {}).get(
-            "paired_best"
-        ),
-        "kernel_scaling_efficiency": p_pairs.get("linear_1_4", {}).get(
-            "kernel_efficiency"
-        ),
-        "scaling_pairs": p_pairs,
-        "scaling_pairs_std": per_corpus.get("std", {}).get("pairs", {}),
-    }
-
-    if not FAST:
-        # a FAST smoke (single leg, no scaling pairs) must not clobber the
-        # committed full-run BENCH.md (code-review r2 finding)
-        record = os.environ.get(
-            "SPARK_GRAFT_BENCH_RECORD",
-            os.path.join(REPO, "data", "bench_r4_session.json"),
-        )
-        result = _publish(result, per_corpus, record)
-    print(json.dumps(result))
-    sys.stdout.flush()
+    _publish_and_print(partial=False)
 
 
 # ---------------------------------------------------------------------------
@@ -784,7 +949,7 @@ def _write_bench_md(result, per_corpus) -> None:
             "no-Spark kernel gets 1.69x from 8->32 workers of an ideal 4x).",
         ]
 
-    hb_path = os.path.join(REPO, "data", "host_baseline.json")
+    hb_path = os.path.join(_data_dir(), "host_baseline.json")
     if os.path.exists(hb_path):
         hb = json.load(open(hb_path))
         lines += [
@@ -813,7 +978,7 @@ def _write_bench_md(result, per_corpus) -> None:
             "substrate allows).",
         ]
 
-    sb_path = os.path.join(REPO, "data", "stage_breakdown.json")
+    sb_path = os.path.join(_data_dir(), "stage_breakdown.json")
     if os.path.exists(sb_path):
         sb = json.load(open(sb_path))
         lvls = sorted(int(x) for x in sb["levels"])
@@ -846,7 +1011,7 @@ def _write_bench_md(result, per_corpus) -> None:
             "nothing in the DAG serializes.",
         ]
 
-    skew_path = os.path.join(REPO, "data", "skew_stress.json")
+    skew_path = os.path.join(_data_dir(), "skew_stress.json")
     if os.path.exists(skew_path):
         sk = json.load(open(skew_path))
         lines += [
@@ -876,7 +1041,7 @@ def _write_bench_md(result, per_corpus) -> None:
             "linear in corpus size — the pile-up never goes quadratic.",
         ]
 
-    incr_path = os.path.join(REPO, "data", "incremental_bench.json")
+    incr_path = os.path.join(_data_dir(), "incremental_bench.json")
     if os.path.exists(incr_path):
         ib = json.load(open(incr_path))
         lines += [
@@ -937,7 +1102,7 @@ def _write_bench_md(result, per_corpus) -> None:
             "delta instead of 100x.",
         ]
 
-    submit_path = os.path.join(REPO, "data", "submit_scaling.json")
+    submit_path = os.path.join(_data_dir(), "submit_scaling.json")
     if os.path.exists(submit_path):
         sb = json.load(open(submit_path))
         lo, hi = sb["pair"]
@@ -990,7 +1155,7 @@ def _write_bench_md(result, per_corpus) -> None:
             "the total wall).",
         ]
 
-    grown_path = os.path.join(REPO, "data", "incremental_bench_grown.json")
+    grown_path = os.path.join(_data_dir(), "incremental_bench_grown.json")
     if os.path.exists(grown_path):
         gb = json.load(open(grown_path))
         ds = gb.get("delta_stats", {})
@@ -1051,7 +1216,7 @@ def _write_bench_md(result, per_corpus) -> None:
         lines.append(f"| {k} | {v} | {runs_by_q.get(k, [v])} |")
     lines.append("")
     lines.append(f"Total (best-of): {result['value']} s")
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    with open(_bench_md_path(), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
@@ -1195,7 +1360,7 @@ if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--refresh-md":
         refresh_md(
             sys.argv[2] if len(sys.argv) > 2
-            else os.path.join(REPO, "data", "bench_r4_session.json")
+            else os.path.join(_data_dir(), "bench_r4_session.json")
         )
     elif len(sys.argv) >= 2 and sys.argv[1] == "--leg":
         if len(sys.argv) >= 6:

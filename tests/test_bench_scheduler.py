@@ -639,3 +639,86 @@ def test_submit_scaling_cycle_pairing_guards():
         [{"cores": 2, "wall_s": 100.0}, {"cores": 2, "wall_s": 90.0},
          {"cores": 8, "wall_s": 30.0}], 2, 8, "wall_s"
     ) == [0.75]
+
+
+def test_build_result_handles_empty_and_partial_state():
+    """_build_result must produce a parseable, schema-stable dict from ANY
+    accumulation state — including the empty one (a SIGTERM during corpus
+    generation) — because the partial artifact and the kill-path summary
+    line are built from it (VERDICT r4 #1)."""
+    empty, per_corpus = bench._build_result(
+        runs={}, corpora={}, all_rounds={q: [] for q in bench.HEADLINE},
+        headline_errors=[], sf="sf0.1",
+    )
+    assert empty["metric"] == "headline_queries_total"
+    assert empty["value"] == 0 and empty["queries"] == {}
+    assert per_corpus == {}
+    # one leg accumulated -> scaling appears, no pairs yet
+    runs = {"xl4": {1: [{"wall_s": 100.0, "kernel_s": 10.0, "n_turns": 1000,
+                         "kernel_n_turns": 500, "slot": 0}],
+                    2: [], 4: [], 8: [], 32: []}}
+    one, pc = bench._build_result(
+        runs, {"xl4": "p"}, {q: [] for q in bench.HEADLINE}, [], "sf0.1",
+    )
+    assert one["primary_corpus"] == "xl4"
+    assert one["pipeline"]["local[1]"]["wall_s"] == 100.0
+    assert one["scaling_pairs"] == {}
+    import json as _json
+
+    _json.dumps(one)  # artifact must serialize
+
+
+def test_bench_sigterm_prints_partial_summary_line(tmp_path):
+    """Integration (tiny corpora, isolated workdir): an outer SIGTERM —
+    the driver's `timeout` — must still yield a parseable summary line on
+    stdout and an on-disk partial artifact.  This is the r4 failure mode
+    (BENCH_r04.json rc=124/parsed=null) pinned for good."""
+    import json as _json
+    import signal
+    import subprocess
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    workdir = tmp_path / "benchwork"
+    workdir.mkdir()
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_BENCH_WORKDIR": str(workdir),
+        "SPARK_GRAFT_BENCH_CORPUS_SCALE": "0.002",
+        "SPARK_GRAFT_BENCH_RECORD": str(workdir / "record.json"),
+        "PYTHONPATH": repo,
+    }
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+    )
+    partial = workdir / "bench_partial.json"
+    deadline = _time.time() + 240
+    try:
+        # wait for the first completed leg's checkpoint, then SIGTERM
+        while _time.time() < deadline:
+            if partial.exists():
+                try:
+                    if _json.loads(partial.read_text()).get("pipeline"):
+                        break
+                except (ValueError, OSError):
+                    pass  # mid-replace
+            if proc.poll() is not None:
+                break
+            _time.sleep(1.0)
+        else:
+            raise AssertionError("no leg checkpoint within 240s")
+        proc.send_signal(signal.SIGTERM)
+        out, err = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    lines = [ln for ln in out.strip().splitlines() if ln.strip()]
+    assert lines, f"no stdout at all; stderr tail: {err[-2000:]}"
+    summary = _json.loads(lines[-1])          # the driver's parse target
+    assert summary.get("partial") is True
+    assert summary["metric"] == "headline_queries_total"
+    assert summary.get("pipeline"), "partial summary lost the measured legs"
+    on_disk = _json.loads(partial.read_text())
+    assert on_disk.get("pipeline")
