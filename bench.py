@@ -1102,57 +1102,85 @@ def _write_bench_md(result, per_corpus) -> None:
             "delta instead of 100x.",
         ]
 
-    submit_path = os.path.join(_data_dir(), "submit_scaling.json")
-    if os.path.exists(submit_path):
+    import glob as _glob
+
+    submit_paths = sorted(
+        p for p in _glob.glob(os.path.join(_data_dir(), "submit_scaling*.json"))
+        if "quarantine" not in os.path.basename(p)
+        and not p.endswith(".tmp")
+    )
+    for si, submit_path in enumerate(submit_paths):
         sb = json.load(open(submit_path))
         lo, hi = sb["pair"]
+        if si == 0:
+            lines += [
+                "",
+                "## spark-submit deployment scaling (the north rule's literal mode)",
+                "",
+                "The in-process legs above measure the pipeline; these series "
+                "run the ACTUAL deployment artifact — `spark-submit --master "
+                "local[N] --py-files bibexpy_spark.zip jobs/dedup_job.py` — "
+                "in alternating lo/hi cycles.  Timed inside the "
+                "job after the python-worker warmup: COMPUTE wall = cluster "
+                "materialization (countDistinct over the persisted clusters "
+                "table — the bench legs' exact "
+                "protocol); TOTAL wall adds all output writes (clusters, dup "
+                "edges, signed state — a near-constant single-disk I/O term "
+                "in this sandbox that measures the disk, not the plan; a real "
+                "cluster writes through per-executor disks/object-store "
+                "parallelism).  Same DAG config as the bench legs "
+                "(--no-simhash, no containment).  Each r5+ leg carries its "
+                "own host-phase PROBE (constant no-Spark "
+                "normalize+shingle+minhash kernel, fixed 4-process pool, run "
+                "immediately before the launch); the probe-normalized cycle "
+                "ratio ((wall_lo/probe_lo)/(wall_hi/probe_hi))/(hi/lo) "
+                "cancels mid-cycle throttle flips, and its MEDIAN is the "
+                "headline claim.  Legs accumulate across sessions under the "
+                "same minima protocol as the main record (legs predating "
+                "the probe carry no probe_s and contribute only to the raw "
+                "series; pre-compute/total-split legs only the total wall).",
+            ]
         lines += [
             "",
-            "## spark-submit deployment scaling (the north rule's literal mode)",
+            f"### pair local[{lo}] → local[{hi}] on {sb['corpus']} "
+            f"({sb['n_turns']} turns; cluster counts asserted equal across "
+            f"every leg: {sb['n_clusters']})",
             "",
-            f"The in-process legs above measure the pipeline; this series "
-            f"runs the ACTUAL deployment artifact — `spark-submit --master "
-            f"local[N] --py-files bibexpy_spark.zip jobs/dedup_job.py` — "
-            f"at local[{lo}] vs local[{hi}] on "
-            f"{sb['corpus']} ({sb['n_turns']} turns).  Timed inside the "
-            "job after the python-worker warmup: COMPUTE wall = cluster "
-            "materialization (countDistinct — the bench legs' exact "
-            "protocol); TOTAL wall adds all output writes (clusters, dup "
-            "edges, signed state — a near-constant single-disk I/O term "
-            "in this sandbox that measures the disk, not the plan; a real "
-            "cluster writes through per-executor disks/object-store "
-            "parallelism).  Same DAG config as the bench legs "
-            "(--no-simhash, no containment); cluster counts asserted "
-            f"equal across every leg ({sb['n_clusters']}).",
-            "",
-            "| leg | cores | compute wall (s) | total wall (s) | errors |",
-            "|---|---|---|---|---|",
+            "| leg | cores | probe (s) | compute wall (s) | total wall (s) | errors |",
+            "|---|---|---|---|---|---|",
         ]
         for i, r in enumerate(sb["legs"]):
             if r.get("failed"):
                 lines.append(
-                    f"| {i} | {r['cores']} | FAILED | FAILED | {r['errors']} |"
+                    f"| {i} | {r['cores']} | {r.get('probe_s', '—')} "
+                    f"| FAILED | FAILED | {r['errors']} |"
                 )
             else:
                 lines.append(
-                    f"| {i} | {r['cores']} | {r.get('wall_compute_s', '—')} "
+                    f"| {i} | {r['cores']} | {r.get('probe_s', '—')} "
+                    f"| {r.get('wall_compute_s', '—')} "
                     f"| {r['wall_s']} | {r['errors']} |"
                 )
+        norm = sb.get("normalized_cycles_compute") or []
+        norm_line = (
+            f"**Probe-normalized compute cycles {norm} — median "
+            f"**{sb.get('normalized_median_compute')}**, best "
+            f"{sb.get('normalized_best_compute')}**.  "
+            if norm else
+            "No probed legs yet in this record — normalized series starts "
+            "accumulating from r5.  "
+        )
         lines += [
             "",
-            f"Compute-wall paired cycles {sb['paired_cycles_compute']} — "
+            norm_line
+            + f"Raw compute-wall paired cycles {sb['paired_cycles_compute']} — "
             f"best **{sb['paired_best_compute']}**, minima-based "
             f"{sb['efficiency_minima_compute']} (walls "
             f"{sb['wall_compute_s_min']}).  Total-wall paired cycles "
             f"{sb['paired_cycles_total']} — best "
             f"**{sb['paired_best_total']}**, minima-based "
             f"{sb['efficiency_minima_total']} (walls {sb['wall_s_min']}).  "
-            f"{sb['protocol']}.  These legs carry no kernel probe, so "
-            "phase attribution rides the in-process series above (same "
-            "host, same corpus, interleaved sessions); legs accumulate "
-            "across sessions under the same minima protocol as the main "
-            "record (legs predating the compute/total split carry only "
-            "the total wall).",
+            f"{sb['protocol']}.",
         ]
 
     grown_path = os.path.join(_data_dir(), "incremental_bench_grown.json")

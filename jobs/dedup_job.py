@@ -160,6 +160,14 @@ def main(argv: list[str] | None = None) -> None:
         # next delta run needs.  Daily increments must write a fresh
         # directory per run (docstring: out1 -> out2).
         def _norm(p: str) -> str:
+            # a file:// scheme names the same local path realpath sees —
+            # strip it first so mixed forms (--output file:///x/out vs
+            # --prior-signed /x/out/signed) cannot evade the guard
+            import re as _re
+
+            m = _re.match(r"^file:/+", p)
+            if m:
+                p = "/" + p[m.end():]
             return p.rstrip("/") if "://" in p else os.path.realpath(p)
 
         out_n = _norm(args.output)
@@ -343,14 +351,19 @@ def main(argv: list[str] | None = None) -> None:
     if t_bench is not None:
         # compute wall: cluster materialization via countDistinct — the
         # bench legs' exact protocol, through the REAL deployment artifact.
-        # The output writes are timed separately (wall_s total below):
-        # on this single-disk sandbox the write term is a near-constant
-        # I/O cost that does not scale with cores, so folding it into the
-        # efficiency ratio would measure the disk, not the plan.
+        # clusters is persisted FIRST so the countDistinct materializes the
+        # DAG tail into cache and the subsequent output write replays the
+        # cache instead of re-executing cluster compute — without this the
+        # total wall double-counted the tail and its write term was NOT the
+        # near-constant I/O cost it claimed to be (ADVICE r4).  The output
+        # writes are still timed separately (wall_s total below): on this
+        # single-disk sandbox the write term measures the disk, not the
+        # plan, so it stays out of the efficiency ratio.
         import time
 
         from pyspark.sql import functions as F
 
+        res["clusters"] = res["clusters"].persist()
         n_clusters_bench = res["clusters"].agg(
             F.countDistinct("cluster_id").alias("n")
         ).collect()[0]["n"]

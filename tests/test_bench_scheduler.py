@@ -722,3 +722,70 @@ def test_bench_sigterm_prints_partial_summary_line(tmp_path):
     assert summary.get("pipeline"), "partial summary lost the measured legs"
     on_disk = _json.loads(partial.read_text())
     assert on_disk.get("pipeline")
+
+
+def test_submit_scaling_probe_normalized_cycles_and_median():
+    """r5: each submit leg carries probe_s (constant fixed-pool host
+    kernel); the normalized cycle divides each wall by its probe before
+    ratioing, cancelling mid-cycle throttle flips.  Probe-less legacy legs
+    contribute only to the raw series; the median of normalized cycles is
+    the headline."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import importlib
+
+    import submit_scaling as ss
+    importlib.reload(ss)
+
+    legs = [
+        # legacy probe-less cycle (raw only)
+        {"cores": 1, "wall_compute_s": 400.0, "wall_s": 420.0, "n_clusters": 9,
+         "n_turns": 100},
+        {"cores": 4, "wall_compute_s": 110.0, "wall_s": 125.0, "n_clusters": 9,
+         "n_turns": 100},
+        # probed clean cycle: probes equal -> normalized == raw
+        {"cores": 1, "wall_compute_s": 380.0, "wall_s": 400.0, "probe_s": 10.0,
+         "n_clusters": 9, "n_turns": 100},
+        {"cores": 4, "wall_compute_s": 100.0, "wall_s": 115.0, "probe_s": 10.0,
+         "n_clusters": 9, "n_turns": 100},
+        # phase-flip cycle: lo ran 2x-throttled (probe 20 vs 10) -> raw eff
+        # inflates to ~1.6, normalization folds it back to 0.8
+        {"cores": 1, "wall_compute_s": 640.0, "wall_s": 660.0, "probe_s": 20.0,
+         "n_clusters": 9, "n_turns": 100},
+        {"cores": 4, "wall_compute_s": 100.0, "wall_s": 115.0, "probe_s": 10.0,
+         "n_clusters": 9, "n_turns": 100},
+    ]
+    raw = ss.compute_cycles(legs, 1, 4, "wall_compute_s")
+    assert raw == [
+        pytest.approx(400.0 / 110.0 / 4, abs=1e-3),
+        pytest.approx(380.0 / 100.0 / 4, abs=1e-3),
+        pytest.approx(640.0 / 100.0 / 4, abs=1e-3),
+    ]
+    norm = ss.compute_cycles(legs, 1, 4, "wall_compute_s", normalized=True)
+    assert norm == [
+        pytest.approx(380.0 / 100.0 / 4, abs=1e-3),   # probes cancel
+        pytest.approx((640.0 / 20.0) / (100.0 / 10.0) / 4, abs=1e-3),  # 0.8
+    ]
+    out = ss.summarize(legs, 1, 4, "c.parquet", 1.0)
+    assert out["normalized_cycles_compute"] == norm
+    assert out["normalized_median_compute"] == pytest.approx(
+        (norm[0] + norm[1]) / 2, abs=1e-3)
+    # raw phase-flip cycle (1.6) excluded from raw paired_best
+    assert out["paired_best_compute"] == raw[1]
+
+
+def test_submit_scaling_record_path_and_divergence():
+    """Per-pair record files (legacy [2,8] keeps its name) and the
+    cluster-divergence guard raising before any record write."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import submit_scaling as ss
+
+    assert ss.record_path_for_pair(2, 8).endswith("/submit_scaling.json")
+    assert ss.record_path_for_pair(1, 4).endswith("/submit_scaling_1_4.json")
+    legs = [
+        {"cores": 1, "wall_s": 10.0, "n_clusters": 9, "n_turns": 100},
+        {"cores": 4, "wall_s": 3.0, "n_clusters": 11, "n_turns": 100},
+    ]
+    with pytest.raises(SystemExit, match="diverged"):
+        ss.summarize(legs, 1, 4, "c.parquet", 1.0)

@@ -261,3 +261,18 @@ def test_incremental_refuses_in_place_state_overwrite(tmp_path):
                   "--incremental", "--no-simhash",
                   "--prior-signed", "s3://bkt/out/signed",
                   "--prior-clusters", "s3://bkt/prior/clusters"])
+    # mixed-form aliases (ADVICE r4): file:// scheme'd output vs plain
+    # local prior path — and the reverse — name the same directory and
+    # must not evade the guard
+    with pytest.raises(SystemExit):
+        mod.main(base[:2] + ["--output", "file://" + out, "--incremental",
+                             "--no-simhash",
+                             "--prior-signed", os.path.join(out, "signed"),
+                             "--prior-clusters", str(tmp_path / "c")])
+    with pytest.raises(SystemExit):
+        mod.main(base + ["--prior-signed", "file://" + out + "/signed",
+                         "--prior-clusters", str(tmp_path / "c")])
+    # single-slash scheme form (Hadoop accepts file:/x) also normalizes
+    with pytest.raises(SystemExit):
+        mod.main(base + ["--prior-signed", "file:" + out + "/signed",
+                         "--prior-clusters", str(tmp_path / "c")])
