@@ -308,6 +308,10 @@ def _scaling_summary(
             s.get("kernel_n_turns", s["n_turns"]) / s["kernel_s"], 1
         )
         s["errors"] = sorted({r.get("errors", "none") for r in rs})
+        # per-run labels (r5): parallel to all_runs_s, so the merge can AGE
+        # OUT legacy runs whose stderr was never captured once enough
+        # labeled runs accumulate at a leg position (VERDICT r4 #8)
+        s["errors_per_run"] = [r.get("errors", "none") for r in rs]
         if kernel_best_by_level and kernel_best_by_level.get(c):
             s["phase_quality"] = round(kernel_best_by_level[c] / s["kernel_s"], 2)
         scaling[c] = s

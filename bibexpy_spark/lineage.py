@@ -74,9 +74,114 @@ def input_token_for_paths(*paths: str, content_hash: bool = False) -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
+class StateLeaseError(RuntimeError):
+    """Another live process holds the writer lease on a run/state dir."""
+
+
+LEASE_FILENAME = ".writer.lease"
+
+
+def _pid_alive(pid) -> bool:
+    if not isinstance(pid, int) or pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, other user
+    return True
+
+
+def acquire_lease(
+    dir_path: str, ttl_s: float = 6 * 3600.0, owner: str = ""
+) -> None:
+    """Advisory exclusive WRITER lease on a run/state directory.
+
+    The parquet+manifest state layer has no optimistic-concurrency story
+    (real Iceberg CASes the table pointer and retries; BASELINE.md gap
+    table #1): two jobs pointed at one run/state dir would interleave
+    their ``os.replace`` swaps with no detection.  This lease closes that
+    operational hazard the way the reference does — per-project job
+    exclusivity (apps/api/jobs/runner.py:145-151 refuses a second run
+    while one is active).  The first writer records (pid, acquired_at,
+    ttl, owner) in ``.writer.lease``; a second concurrent writer gets a
+    loud StateLeaseError.  A crashed holder is reclaimed once its pid is
+    dead (same-host check — this sandbox is single-host; on a real
+    cluster the ttl is the cross-host fallback) or its ttl expired.
+    Same-pid re-acquisition is a no-op: one process may legitimately
+    layer several RunContexts over a dir sequentially.
+    """
+    os.makedirs(dir_path, exist_ok=True)
+    path = os.path.join(dir_path, LEASE_FILENAME)
+    payload = {
+        "pid": os.getpid(),
+        "acquired_at": time.time(),
+        "ttl_s": ttl_s,
+        "owner": owner,
+    }
+    for _attempt in range(2):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                cur = json.load(open(path))
+            except (OSError, json.JSONDecodeError):
+                cur = {}  # torn write or vanished: treat as stale
+            if cur.get("pid") == os.getpid():
+                return  # re-entrant
+            expired = (
+                time.time() - cur.get("acquired_at", 0.0)
+                > cur.get("ttl_s", ttl_s)
+            )
+            if _pid_alive(cur.get("pid")) and not expired:
+                raise StateLeaseError(
+                    f"state dir {dir_path!r} is held by a LIVE writer "
+                    f"(pid {cur.get('pid')}, owner {cur.get('owner') or '?'}, "
+                    f"acquired {round(time.time() - cur.get('acquired_at', 0))}s "
+                    "ago): refusing to run a second job against the same "
+                    "run/state directory — concurrent writers would "
+                    "interleave state swaps undetected.  Point this job at "
+                    "a fresh directory, or remove the stale "
+                    f"{LEASE_FILENAME} if you are certain no job is running."
+                )
+            try:
+                os.unlink(path)  # stale: reclaim and retry the O_EXCL create
+            except FileNotFoundError:
+                pass
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        return
+    raise StateLeaseError(
+        f"could not acquire lease at {path}: another writer kept winning "
+        "the reclaim race"
+    )
+
+
+def release_lease(dir_path: str) -> None:
+    """Release the lease iff THIS process holds it (crash-safe: a dead
+    holder's file is reclaimed by the next acquire via the pid check)."""
+    path = os.path.join(dir_path, LEASE_FILENAME)
+    try:
+        if json.load(open(path)).get("pid") != os.getpid():
+            return
+    except (OSError, json.JSONDecodeError):
+        return
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        pass
+
+
 @dataclass
 class RunContext:
-    """One pipeline run: stage tables + manifests + metrics under one dir."""
+    """One pipeline run: stage tables + manifests + metrics under one dir.
+
+    Construction acquires the exclusive writer lease on the run dir (see
+    acquire_lease) and releases it at garbage collection / process exit;
+    a second concurrent job on the same (warehouse, run_id) refuses
+    loudly instead of corrupting checkpoints."""
 
     spark: SparkSession
     cfg: DedupConfig
@@ -84,6 +189,18 @@ class RunContext:
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     input_token: str = ""
     metrics: list[dict[str, Any]] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        import weakref
+
+        acquire_lease(self.run_dir, owner=f"RunContext:{self.run_id}")
+        self._lease_finalizer = weakref.finalize(
+            self, release_lease, self.run_dir
+        )
+
+    def close(self) -> None:
+        """Release the writer lease explicitly (also runs at GC/exit)."""
+        self._lease_finalizer()
 
     @property
     def run_dir(self) -> str:

@@ -27,6 +27,15 @@ def build_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound the per-batch python-worker footprint: at the default 10k
+        # records/batch, multi-KB transcript docs times the shingle-set
+        # expansion inside the kernels peak at several hundred MB per
+        # worker — the prime suspect for the r4 submit-leg failure class
+        # (10 "Python worker exited unexpectedly" at local[8] on the 4.5M-
+        # turn corpus; VERDICT r4 #3).  4096 halves the peak at no
+        # measurable vectorization loss (numpy kernels saturate well below
+        # 4k rows/batch)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -196,6 +196,14 @@ def foreach_batch_incremental_dedup(
     handler feeds its own maintained pair state back as
     ``prior_extra_pairs``, so the chain stays batch-equivalent to a full
     run with the same sources."""
+    # exclusive writer lease on the state dir: batch markers serialize
+    # replays WITHIN one stream, but a second stream/job pointed at the
+    # same state dir would interleave the multi-table swaps undetected
+    # (BASELINE.md Iceberg-gap #1).  Held for the driver process lifetime;
+    # a crashed holder is reclaimed by pid-death/ttl on the next acquire.
+    from bibexpy_spark.lineage import acquire_lease
+
+    acquire_lease(state_dir, owner="incremental_stream")
     stream = read_turn_stream(
         spark, source_path, max_files_per_trigger=max_files_per_trigger
     )

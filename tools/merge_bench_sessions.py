@@ -60,6 +60,12 @@ def _merge_leg(a: dict, b: dict) -> dict:
         a["kernel_n_turns"] / out["kernel_s"], 1
     )
     out["errors"] = sorted(set(a["errors"]) | set(b["errors"]))
+    # per-run labels (r5+): a side predating them gets "legacy" per run so
+    # the lists stay parallel and _age_uncaptured can tell eras apart
+    out["errors_per_run"] = (
+        a.get("errors_per_run", ["legacy"] * len(a["all_runs_s"]))
+        + b.get("errors_per_run", ["legacy"] * len(b["all_runs_s"]))
+    )
     if a.get("n_clusters") != b.get("n_clusters"):
         raise SystemExit(
             f"cluster-count mismatch at local[{a['cores']}]: "
@@ -97,6 +103,42 @@ def _merge_pairs(a: dict, b: dict) -> dict:
 
 
 PIPE_KEYS = ["pipeline", "pipeline_xl", "pipeline_xl4", "pipeline_std"]
+
+AGE_K = int(os.environ.get("SPARK_GRAFT_AGE_K", "6"))
+
+
+def _age_uncaptured(leg: dict, k: int = AGE_K) -> dict:
+    """Age pre-forensics runs out of a leg (VERDICT r4 #8).
+
+    A leg whose errors include "uncaptured" mixes runs from before stderr
+    capture with captured ones, and the merged wall lists cannot attribute
+    individual runs to either era — so its "none" reads as a label, not a
+    guarantee.  Once the leg holds >= k runs carrying PER-RUN labels
+    (recorded from r5 on), the unlabeled legacy block — which contains the
+    uncaptured runs — is dropped wholesale and the stats recomputed; the
+    errors column then states exactly what every surviving run's captured
+    stderr classified.  Until then the honest mixed label stays."""
+    if "uncaptured" not in leg.get("errors", []):
+        return leg
+    labels = leg.get("errors_per_run")
+    if not labels or len(labels) != len(leg["all_runs_s"]):
+        return leg
+    keep = [i for i, lab in enumerate(labels) if lab != "legacy"]
+    if len(keep) < k:
+        return leg
+    out = dict(leg)
+    out["all_runs_s"] = [leg["all_runs_s"][i] for i in keep]
+    out["kernel_all_runs_s"] = [leg["kernel_all_runs_s"][i] for i in keep]
+    out["errors_per_run"] = [labels[i] for i in keep]
+    out["wall_s"] = min(out["all_runs_s"])
+    out["kernel_s"] = min(out["kernel_all_runs_s"])
+    out["turns_per_sec"] = round(leg["n_turns"] / out["wall_s"], 1)
+    out["kernel_turns_per_sec"] = round(
+        leg["kernel_n_turns"] / out["kernel_s"], 1
+    )
+    out["errors"] = sorted(set(out["errors_per_run"]))
+    out["aged_out_runs"] = len(labels) - len(keep)
+    return out
 
 # NOTE: "pipeline" means the PRIMARY corpus of the session scheme — the 2x
 # corpus before the r4-late primary promotion, the 4x corpus after
@@ -152,6 +194,14 @@ def merge(sessions: list[dict]) -> dict:
         out["headline_errors"] = out.get("headline_errors", []) + nxt.get(
             "headline_errors", []
         )
+
+    # age pre-forensics runs out of mixed legs BEFORE recomputing the
+    # minima-derived stats below (VERDICT r4 #8)
+    for key in PIPE_KEYS:
+        if out.get(key):
+            out[key] = {
+                lvl: _age_uncaptured(leg) for lvl, leg in out[key].items()
+            }
 
     # recompute pair efficiencies from the merged minima
     def _eff(pairs: dict, legs: dict, prefix: str = "") -> None:

@@ -12,9 +12,11 @@ series measure the same DAG.
 Phase handling (VERDICT r4 #2): every leg now carries its own host-phase
 probe — a CONSTANT no-Spark kernel workload (the signature stage's
 normalize→shingle→MinHash over a fixed doc slice) run on a fixed
-4-process pool immediately before the spark-submit launch.  The probe's
-wall samples the host throttle phase the leg is about to run in, so the
-NORMALIZED cycle efficiency
+4-process pool BRACKETING the spark-submit launch (mean of the probes
+immediately before and after; the after-probe chains as the next leg's
+before-probe).  The bracket estimates the phase the leg actually ran
+in — a start-only sample over-corrects when the host flips phase
+mid-leg — so the NORMALIZED cycle efficiency
 
     ((wall_lo / probe_lo) / (wall_hi / probe_hi)) / (hi / lo)
 
@@ -52,7 +54,7 @@ from bench import classify_stderr, paired_best  # noqa: E402
 
 PROBE_WORKERS = 4   # FIXED across all legs — the probe samples phase, not scaling
 PROBE_CHUNKS = 8
-PROBE_DOCS = 24_000
+PROBE_DOCS = 120_000
 
 
 def prepare_probe_chunks() -> list[list[str]]:
@@ -72,18 +74,27 @@ def prepare_probe_chunks() -> list[list[str]]:
     return [docs[i: i + size] for i in range(0, len(docs), size)]
 
 
-def host_probe(chunks: list[list[str]]) -> float:
+def host_probe(chunks: list[list[str]], samples: int = 2) -> float:
     """One probe wall: the host_baseline kernel (same code path as the
-    pipeline's signature stage) on a fixed 4-process pool."""
+    pipeline's signature stage) on a fixed 4-process pool.  Min of
+    ``samples`` back-to-back runs — pool startup and scheduler jitter are
+    noise on top of the phase signal, and the minimum of two adjacent
+    samples estimates the phase the leg is entering better than one.
+    Probe SIZE never affects the normalized cycle ratio (probes appear as
+    probe_hi/probe_lo within one cycle, so the unit cancels) — it only
+    sets the signal-to-noise of the phase sample."""
     import multiprocessing as mp
 
     from tools.host_baseline import _work
 
     ctx = mp.get_context("fork")
-    t0 = time.time()
-    with ctx.Pool(PROBE_WORKERS) as pool:
-        pool.map(_work, chunks)
-    return round(time.time() - t0, 2)
+    walls = []
+    for _ in range(samples):
+        t0 = time.time()
+        with ctx.Pool(PROBE_WORKERS) as pool:
+            pool.map(_work, chunks)
+        walls.append(time.time() - t0)
+    return round(min(walls), 2)
 
 
 def compute_cycles(
@@ -163,6 +174,9 @@ def submit_leg(
         "--conf", "spark.driver.memory=48g",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
+        # the leg-15 guard (VERDICT r4 #3): bound per-batch python-worker
+        # memory — see the matching comment in bibexpy_spark/session.py
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=4096",
         "--py-files", zip_path,
         os.path.join(REPO, "jobs", "dedup_job.py"),
         "--input", corpus,
@@ -295,18 +309,33 @@ def main() -> None:
             probe_chunks = prepare_probe_chunks()
             host_probe(probe_chunks)  # warm imports/pool path, untimed
 
+        # BRACKETED probes (r5 refinement after session A's cycle 2: a
+        # start-only probe sampled a 2x throttle spike the 12-min leg
+        # mostly recovered from, over-correcting the normalized cycle to
+        # 0.49 while the raw read 0.984).  Each leg's phase estimate is
+        # the MEAN of the probes run immediately before and after it; the
+        # after-probe of one leg chains as the before-probe of the next,
+        # so a cycle costs three probes, not four.
+        prev_probe: float | None = None
         for i in range(cycles):
             for c in (lo, hi):
                 tag = f"{i:02d}_{c}"
-                probe_s = host_probe(probe_chunks)
+                p_before = (
+                    prev_probe if prev_probe is not None
+                    else host_probe(probe_chunks)
+                )
                 r, errors = submit_leg(c, zip_path, corpus, scratch, tag)
+                p_after = host_probe(probe_chunks)
+                prev_probe = p_after
                 if r is None:
                     print(f"[submit_scaling] leg {tag} FAILED: {errors}",
                           file=sys.stderr)
                     legs.append({"cores": c, "errors": errors, "failed": True})
                     continue
                 r["errors"] = errors
-                r["probe_s"] = probe_s
+                r["probe_before_s"] = p_before
+                r["probe_after_s"] = p_after
+                r["probe_s"] = round((p_before + p_after) / 2, 2)
                 legs.append(r)
                 print(json.dumps(r), flush=True)
 
