@@ -604,11 +604,12 @@ def main() -> None:
     # kernel at that core count ran clean.  The fixed order spreads the
     # primary cycles across the session (phase diversity); the adaptive
     # tail then keeps re-running any primary leg that still lacks a clean
-    # run until it gets one, the repeat cap, or the budget.  The budget
-    # gate skips only legs whose level already has a run — coverage never
-    # degrades.  Primary cycles run FIRST: the budget gate never skips a
-    # level's first run, so wider-pair coverage survives regardless, while
-    # the primary minima always get their full depth even when a throttle
+    # run until it gets one, the repeat cap, or the legs deadline.  Budget
+    # gates are estimate-based (r5): a repeat leg launches only if its
+    # estimated duration fits the legs deadline, and a first run only if
+    # it fits the TOTAL budget — the artifact (a complete summary line)
+    # now outranks last-leg coverage (VERDICT r4 #1).  Primary cycles run
+    # FIRST so they always get their full depth even when a throttle
     # phase eats the early budget.
     leg_order = [
         ("xl4", 1), ("xl4", 4),
