@@ -201,13 +201,26 @@ def run_headline_round(rnd: int, out_json: str) -> None:
     """One headline round: every HEADLINE query, fully materialized, in a
     fresh session (the registry's gram/pipeline caches are keyed by
     applicationId, so a reused session would time a cache hit).  A tiny
-    shuffle job + the Python-worker warmup run first: this subprocess boots
-    a COLD JVM, and without the warmup the first query absorbs JIT/codegen
-    warmup that in-process protocols (r3) implicitly excluded."""
+    shuffle job + the Python-worker warmup run first: this subprocess
+    boots a COLD JVM.
+
+    Timed pass = the SECOND execution of each query (r5).  The r4
+    protocol timed the first pass, which front-loads JVM/codegen/scan-path
+    warmup onto the round's first queries — measured 2.51s -> 0.53s for
+    t_assemble and 1.20 -> 0.87 for t_exact_dup_groups first-vs-steady in
+    one session (tools/headline_steady.py; the whole apparent r4
+    regression of those two minima, VERDICT r4 #6, was this).  The warm
+    pass runs the full list first (so the timed pass still starts from a
+    comparable mid-session state for every query); steady-state is the
+    quantity that matters at 100 TB — the session-fixed cold cost is
+    measured separately by the fixed-floor analysis in BENCH.md.  The
+    registry caches keyed by applicationId (gram pairs) are cleared
+    between the passes so the timed pass re-executes the real DAG."""
     import __spark_entry__ as entrymod
 
     from pyspark.sql import functions as F
 
+    from bibexpy_spark.entry_queries import transcripts
     from bibexpy_spark.session import build_spark
 
     spark = build_spark(
@@ -219,6 +232,13 @@ def run_headline_round(rnd: int, out_json: str) -> None:
         (F.col("id") % 97).alias("k")
     ).count().write.format("noop").mode("overwrite").save()
     qs = entrymod.queries()
+    for name in HEADLINE:          # warm pass: codegen/JIT/scan-path
+        _force(qs[name](spark, SF_DIR))
+    # drop the per-session gram-pair cache so the timed pass re-executes
+    # the real candidate/verify DAG instead of reading a persisted RDD
+    for df in transcripts._GRAM_CACHE.values():
+        df.unpersist()
+    transcripts._GRAM_CACHE.clear()
     out = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -620,6 +640,18 @@ def main() -> None:
         ("std", 2), ("std", 8),
         ("xl4", 2), ("xl4", 8), ("xl4", 32),
     ]
+    # targeted sessions (e.g. "xl4:1,xl4:4,xl4:1,xl4:4" to deepen the
+    # primary pair's labeled-run count for the aging protocol) — the
+    # record merge accepts any subset of levels, and cycles still pair by
+    # launch slot
+    if os.environ.get("SPARK_GRAFT_BENCH_LEG_ORDER"):
+        leg_order = [
+            (n, int(c))
+            for n, c in (
+                tok.split(":")
+                for tok in os.environ["SPARK_GRAFT_BENCH_LEG_ORDER"].split(",")
+            )
+        ]
     runs.update({
         name: {1: [], 2: [], 4: [], 8: [], 32: []} for name in corpora
     })
