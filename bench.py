@@ -805,11 +805,15 @@ def _scaling_table(scaling: dict, pairs: dict) -> list[str]:
     ]
     for c in sorted(scaling):
         s = scaling[c]
+        aged = (
+            f" (+{s['aged_out_runs']} pre-forensics runs aged out)"
+            if s.get("aged_out_runs") else ""
+        )
         lines.append(
             f"| local[{c}] | {s['wall_s']} | {s['all_runs_s']} | "
             f"{s['turns_per_sec']} | {s['kernel_s']} | "
             f"{s['kernel_turns_per_sec']} | {s.get('phase_quality', '—')} | "
-            f"{'; '.join(s['errors'])} |"
+            f"{'; '.join(s['errors'])}{aged} |"
         )
     if pairs:
         lines += [
