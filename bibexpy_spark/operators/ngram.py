@@ -24,14 +24,16 @@ arrays) for both pair endpoints and compute the exact intersection/union
 with JVM-native ``array_intersect`` — whole-stage codegen, no Python, and
 exact w.r.t. the all-pairs SQL oracle.
 
-Verify-join shape (round-1 observation, landed r3): the naive
-``cand ⋈ rows ⋈ rows`` chain ships the per-row gram arrays through THREE
-exchanges (rows by a_id, the array-carrying intermediate by b_id, rows by
-b_id — ~2R + P array shipments for R rows / P candidate pairs).  Instead,
-explode each pair into its two endpoint ids, join the row arrays ONCE on
-id, and regroup by the pair key: the arrays cross exactly TWO exchanges
-(R by id + 2P by pair key), strictly fewer shipments whenever P < R and
-one fewer exchange always — plan-tested in test_plan_properties.py.
+Verify-join shape (r6, replacing the r3 explode-join-regroup): the
+``cand ⋈ rows ⋈ rows`` endpoint chain with both sides projected
+canonically identically, so the planner REUSES one exchange (or one
+broadcast) of the row arrays for both endpoint fetches — R + P array
+shipments for R rows / P candidate pairs, vs the regroup's R + 2P
+(R by id + 2P through the pair-key groupBy shuffle).  When the row table
+fits the broadcast threshold (AQE decides from real sizes) the pair
+stream crosses no array-carrying shuffle at all; a hot endpoint lands in
+a join, where AQE skew-split applies.  Plan-tested in
+test_plan_properties.py.
 """
 
 from __future__ import annotations
@@ -154,27 +156,64 @@ def gram_jaccard_pairs(
         ex = hashed.select(
             "id", F.size("gh").alias("n_g"), F.explode("gh").alias("h")
         )
-        freq = ex.groupBy("h").agg(F.count("*").alias("df"))
-        with_df = ex.join(freq, "h")
+        # r6 physical restructure (same candidates, same output — guide §2.3/
+        # §2.4): only grams with global df >= 2 ever reach the candidate
+        # join (SINGLETON prune: a df == 1 gram meets only itself in the
+        # self-equi-join and x.id < y.id discards that row), so the df
+        # attach-join now INNER-joins against the df >= 2 slice of the
+        # frequency table instead of joining every exploded gram row and
+        # filtering after ranking.  That shrinks the join output (and the
+        # window input) by the unique-gram mass — the dominant mass of a
+        # mostly-novel corpus — and the df >= 2 side is small enough that
+        # AQE picks a broadcast join from its real post-shuffle size at
+        # bench scale (no second full exchange of the exploded grams) while
+        # degrading to the same sort-merge join as before at 100-TB scale.
+        #
+        # Rank correction keeps the GLOBAL (df, h) prefix order exact: a
+        # doc's df == 1 grams all sort BEFORE its df >= 2 grams (df = 1 is
+        # the minimum), so with n1 = n_g - n2 singleton grams the full-order
+        # rank of a surviving gram is _rk = n1 + rk2, and the prefix
+        # condition _rk <= n_g - ceil_t + 1 becomes rk2 <= n2 - ceil_t + 1.
+        # Both windows share one (id)-partitioned exchange+sort, now over
+        # the df >= 2 rows only.
+        freq2 = (
+            ex.groupBy("h").agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= 2)
+        )
+        # SHUFFLE_HASH hint (guide §3.1), measured r6: AQE's broadcast
+        # choice for this join builds a ~1M-entry hash relation on the
+        # driver single-threaded (3.15s phase-1 at sf0.1); the shuffled
+        # hash join builds per-partition maps in parallel (1.09s).  The
+        # build side is provably the smaller one per partition: freq2 has
+        # at most one 16-byte (h, df) row per TWO probe-side gram rows
+        # (df >= 2) and no doc-id/string payload, so the per-partition map
+        # stays bounded by half the partition's probe rows at any scale.
+        with_df = ex.join(freq2.hint("shuffle_hash"), "h")
         # ceil(n_g * t) with integers; prefix keeps ranks 1..(n_g - ceil + 1)
         ceil_t = F.floor((F.col("n_g") * t_num + t_den - 1) / t_den)
-        rk = F.row_number().over(W.partitionBy("id").orderBy("df", "h"))
+        wid = W.partitionBy("id")
         prefix = (
-            with_df.withColumn("_rk", rk)
-            .filter(F.col("_rk") <= F.col("n_g") - ceil_t + 1)
-            # SINGLETON prune (lossless): a gram with global df == 1 occurs
-            # in exactly one doc, so in the self-equi-join on h it can only
-            # meet itself, and x.id < y.id discards that row — it can never
-            # contribute a candidate.  Ranks above were computed over ALL
-            # grams (df == 1 grams sort FIRST under (df, h) and legitimately
-            # occupy prefix slots, displacing hotter grams — that is the
-            # prefix-filter working), but once ranked they carry no join
-            # value; dropping them here shrinks both shuffle sides of the
-            # candidate join by the unique-gram mass, which dominates a
-            # mostly-novel corpus.
-            .filter(F.col("df") >= 2)
-            .select("id", "n_g", "_rk", "h")
+            with_df.withColumn(
+                "_rk2", F.row_number().over(wid.orderBy("df", "h"))
+            )
+            .withColumn("_n2", F.count("*").over(wid))
+            .filter(F.col("_rk2") <= F.col("_n2") - ceil_t + 1)
+            .select(
+                "id",
+                "n_g",
+                (F.col("n_g") - F.col("_n2") + F.col("_rk2")).alias("_rk"),
+                "h",
+            )
         )
+        # materialize the (small) prefix index once: the candidate self-join
+        # references it on BOTH sides, and without a materialization barrier
+        # the whole freq+window subtree executes twice (observed in the r6
+        # before-plan: two Window/Sort passes over the full exploded gram
+        # set).  localCheckpoint (not persist) on purpose: it cuts lineage
+        # for the self-join within THIS invocation but cannot be
+        # plan-matched by the CacheManager across invocations, so repeated
+        # timings keep re-executing the real DAG.
+        prefix = prefix.localCheckpoint(eager=True)
         nx, ny = F.col("x.n_g"), F.col("y.n_g")
         i, j = F.col("x._rk"), F.col("y._rk")
         matched = (
@@ -258,32 +297,35 @@ def verify_gram_pairs(
     cand: DataFrame, hashed: DataFrame, t_num: int, t_den: int
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs against the full gram
-    sets — the explode-join-regroup shape (module docstring): one array
-    exchange by id, one by pair key, never an array-carrying intermediate
-    re-shuffled on a second key."""
-    need = cand.select(
-        "a_id", "b_id",
-        F.explode(F.array(F.col("a_id"), F.col("b_id"))).alias("id"),
-    )
-    fetched = need.join(hashed, "id")
+    sets — the endpoint-join chain shape with one shared exchange (r6).
+
+    The r3 explode-join-regroup shape shipped R arrays through the id
+    exchange plus 2P arrays through a pair-key groupBy shuffle (R = side
+    rows, P = candidate pairs); its cost analysis assumed the legacy chain
+    re-shuffles the side table twice.  It does not: both endpoint joins
+    consume ``hashed`` through CANONICALLY IDENTICAL projections, so the
+    planner reuses one exchange (ReusedExchange — asserted in
+    test_plan_properties.py) and the chain ships R + P arrays — strictly
+    fewer than R + 2P in every regime, and when the side table fits the
+    broadcast threshold (AQE decides from real sizes) the pair stream
+    crosses NO array-carrying shuffle at all, where the regroup's pair-key
+    groupBy shuffled 2P arrays unconditionally.  A skewed endpoint (one
+    doc in many pairs) now lands in a JOIN, where AQE skew-split applies —
+    the regroup's groupBy had no such runtime protection.
+
+    Endpoint-guard semantics (ADVICE r3/r4) are preserved by construction:
+    a candidate whose endpoint is missing from ``hashed`` drops (inner
+    joins), a degenerate a_id == b_id candidate drops (explicit filter),
+    and two empty gram sets never pass 0 >= 0 (union_n > 0 filter).  A
+    duplicate id in ``hashed`` (a caller bug) still verifies the pair —
+    as duplicated output rows rather than the regroup's single row.
+    """
+    a_side = hashed.select(F.col("id").alias("a_id"), F.col("gh").alias("a_gh"))
+    b_side = hashed.select(F.col("id").alias("b_id"), F.col("gh").alias("b_gh"))
     j = (
-        fetched.groupBy("a_id", "b_id")
-        .agg(
-            # endpoint-coverage guard (ADVICE r3, refined r4): require BOTH
-            # endpoints fetched — a one-endpoint pair must drop (the old
-            # double inner join semantics), not self-verify to Jaccard 1.0.
-            # Presence per side, not a row count of 2: a duplicate id in
-            # ``hashed`` (a caller bug) must not silently drop the pair.
-            # _nb counts NON-a rows (as verify.py/containment.py do), so a
-            # degenerate a_id == b_id candidate — where every fetched row
-            # matches both sides — fails the guard instead of emitting a
-            # Jaccard-1.0 self-pair
-            F.sum((F.col("id") == F.col("a_id")).cast("int")).alias("_na"),
-            F.sum((F.col("id") != F.col("a_id")).cast("int")).alias("_nb"),
-            F.max_by("gh", (F.col("id") == F.col("a_id")).cast("int")).alias("a_gh"),
-            F.min_by("gh", (F.col("id") == F.col("a_id")).cast("int")).alias("b_gh"),
-        )
-        .filter((F.col("_na") >= 1) & (F.col("_nb") >= 1))
+        cand.filter(F.col("a_id") != F.col("b_id"))
+        .join(a_side, "a_id")
+        .join(b_side, "b_id")
         .withColumn("a_n", F.size("a_gh"))
         .withColumn("b_n", F.size("b_gh"))
         # size-ratio prefilter before the array intersection

@@ -117,10 +117,12 @@ def test_ngram_index_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in strategies
 
 
-def test_verify_gram_pairs_fewer_array_exchanges(spark):
-    """VERDICT r2 #9: the explode-join-regroup verify shape must carry the
-    gram arrays through FEWER exchanges than the legacy cand ⋈ rows ⋈ rows
-    chain (which re-shuffles the array-carrying intermediate on b_id)."""
+def test_verify_gram_pairs_chain_reuses_side_exchange(spark):
+    """r6 verify shape: the endpoint-join chain projects ``hashed``
+    canonically identically on both sides, so the planner must REUSE one
+    exchange of the array-carrying side table (R + P array shipments, vs
+    the r3 regroup's R + 2P through its pair-key groupBy) — and the plan
+    must contain no pair-key aggregation shuffling arrays at all."""
     from bibexpy_spark.operators import ngram
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
@@ -135,26 +137,19 @@ def test_verify_gram_pairs_fewer_array_exchanges(spark):
         [(1, 2), (2, 5), (3, 9)], "a_id long, b_id long"
     )
 
-    def n_exchanges(df) -> int:
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        return plan.count("Exchange hashpartitioning")
-
     # at fixture scale the optimizer broadcasts `hashed` and hides every
-    # shuffle — disable auto-broadcast so the plans show their 100-TB shape
+    # shuffle — disable auto-broadcast so the plan shows its 100-TB shape
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         new = ngram.verify_gram_pairs(cand, hashed, 1, 2)
-
-        a = hashed.select(F.col("id").alias("a_id"), F.col("gh").alias("a_gh"),
-                          F.size("gh").alias("a_n"))
-        b = hashed.select(F.col("id").alias("b_id"), F.col("gh").alias("b_gh"),
-                          F.size("gh").alias("b_n"))
-        legacy = (
-            cand.join(a, "a_id").join(b, "b_id")
-            .withColumn("inter", F.size(F.array_intersect("a_gh", "b_gh")))
-        )
-        assert n_exchanges(new) < n_exchanges(legacy)
+        new.collect()
+        plan = new._jdf.queryExecution().executedPlan().toString()
+        # one endpoint fetch reuses the other's exchange of the side table
+        assert "ReusedExchange" in plan
+        # no aggregation anywhere in verify: arrays never cross a pair-key
+        # groupBy shuffle (the r3 regroup's unconditional 2P cost)
+        assert "HashAggregate" not in plan and "ObjectHashAggregate" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     # and the result is still exact: spot-check one known pair end-to-end
