@@ -98,11 +98,21 @@ def d_text_stats(spark, sf_dir):
     token counting (whitespace + a BPE-ish regex count).  All JVM-native
     expressions — one scan, no UDF."""
     d = _t(spark, sf_dir, "documents")
-    _, toks = _norm_tokens()
+    norm, toks = _norm_tokens()
 
     def hits(words):
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        # token-equality hit count as a codegen-native regexp_count over
+        # the normalized space-separated string (r6): tokens are [a-z0-9]+
+        # so the alternation is literal-safe, the leading space is consumed
+        # while the trailing boundary is a lookahead (consecutive stopwords
+        # must each match), and counting on " norm " equals counting tokens
+        # ∈ words exactly (verified 0 mismatches vs the array-filter form
+        # at sf0.1 and against the DuckDB oracle).  The array-filter HOF is
+        # CodegenFallback — the whole projection ran interpreted.
+        pat = " (?:" + "|".join(words) + ")(?= )"
+        return F.regexp_count(
+            F.concat(F.lit(" "), norm, F.lit(" ")), F.lit(pat)
+        ).cast("int")
 
     en, de, fr = hits(_EN_STOP), hits(_DE_STOP), hits(_FR_STOP)
     pred = (

@@ -34,9 +34,23 @@ def load_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def conv_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assembled conversations: conv_id, n_turns, doc."""
-    return assembly.assemble_conversations(load_turns(spark, sf_dir)).select(
-        "conv_id", "n_turns", "doc"
+    """Assembled conversations: conv_id, n_turns, doc.
+
+    Lean aggregation (r6): only the fields the doc ordering needs enter the
+    collect_list struct — the assembly shuffle stops carrying ``ts`` and
+    the unused roles/tools/first/last_ts aggregates of the full
+    assemble_conversations surface.  Ordering tiebreak (turn_idx, role,
+    text, tool) matches assembly.assemble_docs; rows tying on all four
+    render identical text either way, so the doc is unchanged."""
+    agg = load_turns(spark, sf_dir).groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("turn_idx", "role", "text", "tool"))
+        ).alias("_t")
+    )
+    return agg.select(
+        "conv_id",
+        F.size("_t").cast("long").alias("n_turns"),
+        F.array_join(F.col("_t.text"), assembly.TURN_SEP).alias("doc"),
     )
 
 
@@ -101,9 +115,13 @@ def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference smart_merger.py:654-711).  Carries the per-cluster size
     column (window count), which also hash-checks the size distribution —
     this entry subsumes the former t_cluster_size_histogram."""
-    conv = conv_df(spark, sf_dir)
+    # node universe from the raw turn table (r6): distinct conv_id over a
+    # narrow column with map-side partial aggregation, instead of paying
+    # the full doc-assembly shuffle just to enumerate ids — identical set
+    # by construction (assembly IS a groupBy of the same rows)
+    nodes = load_turns(spark, sf_dir).select("conv_id").distinct()
     edges = _sql_gram_pairs(spark, sf_dir).select("a_id", "b_id")
-    cl = components.connected_components(edges, conv.select("conv_id"), CANONICAL)
+    cl = components.connected_components(edges, nodes, CANONICAL)
     return cl.withColumn(
         "cluster_sz", F.count("*").over(W.partitionBy("cluster_id"))
     )

@@ -36,45 +36,32 @@ def verify_pairs(
     result is bit-exact reproducible: inter/union >= t  <=>
     inter * denom >= num * union for t = num/denom.
     """
-    cols = [F.col(id_col).alias("id"), F.col("shingles"),
-            F.size("shingles").alias("sh_n")]
-    if strong_id_col:
-        cols.append(F.col(strong_id_col).alias("strong_id"))
-    side = signed.select(*cols)
-
-    # explode-join-regroup (same shape as ngram.verify_gram_pairs, r3): the
-    # shingle arrays cross exactly TWO exchanges — side by id, the fetched
-    # pair rows by (a_id, b_id) — instead of the naive cand ⋈ rows ⋈ rows
-    # chain that re-shuffles the array-carrying intermediate on b_id.
-    need = pairs.select(
-        "a_id", "b_id",
-        F.explode(F.array(F.col("a_id"), F.col("b_id"))).alias("id"),
-    )
-    fetched = need.join(side, "id")
-    is_a = (F.col("id") == F.col("a_id")).cast("int")
-    aggs = [
-        # endpoint-coverage guard (ADVICE r3, refined r4): a pair whose
-        # endpoint is missing from ``signed`` must be DROPPED, not verified
-        # against a single fetched row (max_by/min_by would return the same
-        # row for both sides -> self-Jaccard 1.0, a false duplicate).
-        # Presence per SIDE, not a row count of 2: a duplicate id in
-        # ``signed`` (a caller bug) must not silently drop the pair
-        F.sum(is_a).alias("_na"),
-        F.sum(F.lit(1) - is_a).alias("_nb"),
-        F.max_by("shingles", is_a).alias("a_sh"),
-        F.min_by("shingles", is_a).alias("b_sh"),
-        F.max_by("sh_n", is_a).alias("a_n"),
-        F.min_by("sh_n", is_a).alias("b_n"),
-    ]
-    if strong_id_col:
-        aggs += [
-            F.max_by("strong_id", is_a).alias("a_strong"),
-            F.min_by("strong_id", is_a).alias("b_strong"),
+    # endpoint-join chain with one shared exchange (r6, same shape and
+    # rationale as ngram.verify_gram_pairs): both endpoint fetches consume
+    # ``side`` through canonically identical projections, so the planner
+    # reuses one exchange (or broadcast) of the array-carrying side table —
+    # R + P array shipments for R side rows / P pairs, vs the r3 regroup's
+    # R + 2P through its pair-key groupBy shuffle; a hot endpoint lands in
+    # a join, where AQE skew-split applies.  Guard semantics preserved: a
+    # pair whose endpoint is missing from ``signed`` drops (inner joins),
+    # a degenerate a_id == b_id candidate drops (explicit filter — the
+    # regroup's _nb guard), and a duplicate id in ``signed`` (a caller
+    # bug) still verifies the pair, now as duplicated output rows.
+    def _side(tag: str) -> DataFrame:
+        cols = [
+            F.col(id_col).alias(f"{tag}_id"),
+            F.col("shingles").alias(f"{tag}_sh"),
+            F.size("shingles").alias(f"{tag}_n"),
         ]
+        if strong_id_col:
+            cols.append(F.col(strong_id_col).alias(f"{tag}_strong"))
+        return signed.select(*cols)
+
     j = (
-        fetched.groupBy("a_id", "b_id")
-        .agg(*aggs)
-        .filter((F.col("_na") >= 1) & (F.col("_nb") >= 1))
+        pairs.select("a_id", "b_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .join(_side("a"), "a_id")
+        .join(_side("b"), "b_id")
     )
 
     if strong_id_col:
