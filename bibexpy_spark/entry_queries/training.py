@@ -226,20 +226,69 @@ def d_winnow_overlap_pairs(spark, sf_dir, k_chars: int = 7, window: int = 4,
 def e_knn_bruteforce(spark, sf_dir, k: int = 5, n_queries: int = 10):
     """Brute-force cosine top-k: query vectors (vec_id < n_queries) vs all.
 
-    Cosine via the Arrow-batched einsum kernel (vector_ops.cosine; the
-    HOF zip_with+aggregate backend stays selectable for A/B, both float64);
-    ranking on ROUND(cos, 4) with vec_id tie-break so the result is
-    engine-reproducible despite float summation order."""
+    r6 shape: the <= n_queries query vectors ship to the driver once (the
+    bounded-fetch precedent of e_ivf_ann's centroid sample — O(n_queries x
+    dim) bytes, never O(n)) and ride the UDF closure as one (n_q, dim)
+    matrix, so every candidate embedding crosses the Python boundary ONCE
+    and one einsum batch yields all n_q cosines per candidate.  The r5
+    crossJoin shape shipped each candidate 2 x n_q times (q_emb + c_emb
+    per pair row) through BroadcastNestedLoopJoin + per-pair kernel calls.
+    Ranking on ROUND(cos, 4) with vec_id tie-break is unchanged, so the
+    result is engine-reproducible despite float summation order."""
     e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, cos double, rank int"
+        )
+    qids = [int(r["vec_id"]) for r in q_rows]
+    qm = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in q_rows]
+    )
+    q_norm = np.sqrt(np.einsum("ij,ij->i", qm, qm))
 
-    j = q.crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
-    j = j.withColumn(
-        "cos",
-        F.round(vector_ops.cosine(F.col("q_emb"), F.col("c_emb")), 4),
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def cos_all(emb: pd.Series) -> pd.Series:
+        # every row yields an n_q-length array (nulls for a null/ragged
+        # embedding) so posexplode keeps exactly one row per (query, cand)
+        # pair — the crossJoin shape's NULL-cos rows, preserved
+        out = [[None] * len(qids)] * len(emb)
+        ok = emb.notna().to_numpy()
+        idx_all = np.flatnonzero(ok)
+        if len(idx_all):
+            ev = emb.to_numpy()
+            dims = np.fromiter(
+                (len(ev[i]) for i in idx_all), dtype=np.int64, count=len(idx_all)
+            )
+            idx_all = idx_all[dims == qm.shape[1]]
+            if len(idx_all):
+                m = np.stack(ev[idx_all]).astype(np.float64, copy=False)
+                num = m @ qm.T
+                den = np.sqrt(np.einsum("ij,ij->i", m, m))[:, None] * q_norm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = num / den
+                cos[den == 0.0] = np.nan
+                for row_i, c in zip(idx_all, cos):
+                    out[row_i] = [None if np.isnan(v) else float(v) for v in c]
+        return pd.Series(out)
+
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    j = (
+        e.select(
+            F.col("vec_id").alias("cand_id"),
+            F.posexplode(cos_all("embedding")).alias("_q", "_cos"),
+        )
+        .select(
+            qid_arr[F.col("_q")].cast("long").alias("query_id"),
+            "cand_id",
+            F.round("_cos", 4).alias("cos"),
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
