@@ -121,7 +121,10 @@ def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by construction (assembly IS a groupBy of the same rows)
     nodes = load_turns(spark, sf_dir).select("conv_id").distinct()
     edges = _sql_gram_pairs(spark, sf_dir).select("a_id", "b_id")
-    cl = components.connected_components(edges, nodes, CANONICAL)
+    # edges read the persisted gram-pair cache — skip the checkpoint job
+    cl = components.connected_components(
+        edges, nodes, CANONICAL, checkpoint_edges=False
+    )
     return cl.withColumn(
         "cluster_sz", F.count("*").over(W.partitionBy("cluster_id"))
     )

@@ -58,6 +58,7 @@ def connected_components(
     cfg: DedupConfig = CANONICAL,
     id_col: str = "conv_id",
     driver_threshold: int = 2_000_000,
+    checkpoint_edges: bool = True,
 ) -> DataFrame:
     """edges(a_id, b_id) + nodes(id) -> (id_col, cluster_id).
 
@@ -71,6 +72,13 @@ def connected_components(
     small-remainder shortcut.  Semantics are identical (same min-label
     closure); the chosen mode is observable via the plan (driver mode plans
     from a createDataFrame).
+
+    ``checkpoint_edges=False`` (r6): a caller whose edge frame is already
+    materialized (persisted pairs cache) can skip the up-front checkpoint
+    job — count + collect then re-scan the cheap upstream, and the loop
+    path checkpoints on entry anyway.  Leave True when edges derive from
+    an expensive unmaterialized DAG (the pipeline's verify output): the
+    count and each consumer would otherwise re-execute it.
     """
     spark = edges.sparkSession
     e = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).filter(
@@ -78,11 +86,15 @@ def connected_components(
     ).distinct()
     # materialize the edge list once: the iteration must not re-derive the
     # whole upstream pipeline (LSH + verify) every round
-    e = e.localCheckpoint(eager=True)
+    if checkpoint_edges:
+        e = e.localCheckpoint(eager=True)
 
     n_edges = e.count()
     if n_edges <= driver_threshold:
         return _driver_components(spark, e, nodes, id_col)
+    if not checkpoint_edges:
+        # the star loop iterates over e — materialize it now after all
+        e = e.localCheckpoint(eager=True)
 
     # Catalyst's constraint inference (PruneFilters) hits an internal
     # AttributeMap error on the self-union/self-join star plans (SPARK
