@@ -63,8 +63,23 @@ def with_grams(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), grams.alias("grams"))
 
 
+#: count-bucket sketch geometry (see verify_gram_pairs): SK_B buckets of
+#: 4-bit saturating gram counts packed 16 lanes per long
+SK_B = 128
+SK_LONGS = SK_B // 16
+
+#: candidate-mass crossover for the low-threshold row-wise + sketch path
+#: (sum_h pdf^2 over the prefix index, an upper bound on candidate pairs):
+#: measured 0.7M at sf0.1 documents (aggregate 1.9s vs sketch 3.4s) and
+#: 111M at the 50k-doc sf1.0 corpus (sketch 6.7s vs aggregate 33s) — any
+#: value between those regimes separates them; the pair-aggregate's
+#: shuffle grows linearly with this mass while the sketch path's fixed
+#: costs (two extra broadcast builds + the 128-term bound filter) do not
+SKETCH_CANDIDATE_MASS = 4_000_000
+
+
 def with_gram_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """id, gh (sorted distinct int64 gram hashes) — the hot-path form.
+    """id, gh (sorted distinct int64 gram hashes), sk, sk_ok — hot-path form.
 
     Semantically a gram is the k-token window from :func:`with_grams`; the
     hash path only needs gram IDENTITY (Jaccard over hashes equals Jaccard
@@ -83,6 +98,7 @@ def with_gram_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataF
     efficiency 0.86 in BENCH.md).  Short docs (< k tokens) keep one
     whole-doc gram; empty docs hash the empty string — both matching
     :func:`with_grams` equality classes.
+
     """
     from bibexpy_spark.functions import kernels
 
@@ -100,6 +116,45 @@ def with_gram_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataF
     return df.select(
         F.col(id_col).alias("id"), gram_udf(F.col(text_col)).alias("gh")
     )
+
+
+def with_gram_sketch(hashed: DataFrame) -> DataFrame:
+    """(id, gh) -> (id, n, sk, sk_ok): the count-bucket sketch metadata the
+    two-stage verify prefilter consumes (see verify_gram_pairs).
+
+    bucket = low-7-bits of the gram hash; SK_B=128 buckets of 4-bit counts
+    packed into SK_LONGS longs.  ``sk_ok`` is False when any bucket count
+    exceeds 15 — such a doc's pairs skip the bound filter (saturated
+    counts cannot carry the lossless bound) and go straight to the exact
+    intersection.  Computed as a small vectorized pass over the gram-hash
+    frame (typically the persisted one), only where the sketched verify
+    actually uses it — the gram frame itself keeps its lean (id, gh)
+    shape for every other consumer.
+    """
+    shifts = np.arange(16, dtype=np.uint64) * np.uint64(4)
+
+    @F.pandas_udf("sk array<bigint>, sk_ok boolean")
+    def sketch_udf(ghs: pd.Series) -> pd.DataFrame:
+        sks, oks = [], []
+        mask = np.int64(SK_B - 1)
+        for g in ghs:
+            arr = np.asarray(g, dtype=np.int64)
+            cnt = np.bincount((arr & mask), minlength=SK_B)
+            ok = bool(cnt.max(initial=0) <= 15)
+            if not ok:
+                cnt = np.minimum(cnt, 15)
+            packed = (
+                (cnt.astype(np.uint64).reshape(SK_LONGS, 16) << shifts)
+                .sum(axis=1)
+                .view(np.int64)
+            )
+            sks.append(packed)
+            oks.append(ok)
+        return pd.DataFrame({"sk": sks, "sk_ok": oks})
+
+    return hashed.select(
+        "id", F.size("gh").alias("n"), sketch_udf(F.col("gh")).alias("_s")
+    ).select("id", "n", "_s.sk", "_s.sk_ok")
 
 
 def gram_jaccard_pairs(
@@ -240,6 +295,45 @@ def gram_jaccard_pairs(
                 (nx + ny).alias("_sz"),
             )
         )
+        # Candidate handling is adaptive (r6).  The pair-dedup aggregate
+        # pays one pair-key shuffle of EVERY matched row to (a) verify
+        # each candidate pair once and (b) apply the positional filter on
+        # the MIN bound; its value is the dedup ratio.  Measured regimes:
+        # t = 4/5 transcripts at sf0.1: 160k matched rows -> 5.6k pairs
+        # (28x dedup — true dups share many prefix grams; aggregate wins).
+        # t = 1/2 documents at the 50k-doc sf1.0 corpus: 42.0M rows ->
+        # 39.8M pairs (1.06x — low-t prefixes cover half of every doc,
+        # candidates share a single gram, and the aggregate shuffles the
+        # entire near-quadratic candidate set to save ~6% duplicate
+        # verifications; the ROW-WISE + sketch path is 5x faster).
+        #
+        # High thresholds (t >= 2/3) always take the aggregate (short
+        # prefixes, dense multiplicity).  Below that the choice is made
+        # from the DATA, not a constant: one tiny aggregate over the
+        # already-checkpointed prefix index measures the candidate upper
+        # bound sum_h pdf(h)^2 (the never-silent candidate-volume stat) —
+        # small mass -> aggregate, large -> row-wise, where each matched
+        # row is filtered on its own positional bound (lossless — _ub
+        # upper-bounds the pair's true overlap, so no row of a TRUE pair
+        # is ever dropped), verified through the sketched two-stage chain
+        # (exact), and the tiny verified output deduped instead of the
+        # huge candidate set.
+        rowwise = False
+        if 3 * t_num < 2 * t_den:  # t < 2/3: measure the candidate mass
+            mass_row = (
+                prefix.groupBy("h").agg(F.count("*").alias("pdf"))
+                .agg(F.sum(F.col("pdf") * F.col("pdf")).alias("m"))
+                .collect()
+            )
+            rowwise = int(mass_row[0]["m"] or 0) > SKETCH_CANDIDATE_MASS
+        if rowwise:
+            rows = matched.filter(
+                F.col("_ub") * (t_den + t_num) >= F.col("_sz") * t_num
+            ).select("a_id", "b_id")
+            return verify_gram_pairs(
+                rows, hashed, t_num, t_den,
+                sketch_meta=with_gram_sketch(hashed),
+            ).dropDuplicates(["a_id", "b_id"])
         cand = (
             matched.groupBy("a_id", "b_id")
             .agg(F.min("_ub").alias("_ub"), F.min("_sz").alias("_sz"))
@@ -247,6 +341,9 @@ def gram_jaccard_pairs(
             .filter(F.col("_ub") * (t_den + t_num) >= F.col("_sz") * t_num)
             .select("a_id", "b_id")
         )
+        # high-t candidates are few and mostly true after the min-bound
+        # aggregate (28x dedup measured) — the sketch's metadata stage
+        # would only add a second broadcast build; verify plain
         return verify_gram_pairs(cand, hashed, t_num, t_den)
     if candidates != "rare_index":
         raise ValueError(f"unknown candidates plan: {candidates!r}")
@@ -294,7 +391,11 @@ def gram_jaccard_pairs(
 
 
 def verify_gram_pairs(
-    cand: DataFrame, hashed: DataFrame, t_num: int, t_den: int
+    cand: DataFrame,
+    hashed: DataFrame,
+    t_num: int,
+    t_den: int,
+    sketch_meta: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs against the full gram
     sets — the endpoint-join chain shape with one shared exchange (r6).
@@ -320,17 +421,83 @@ def verify_gram_pairs(
     duplicate id in ``hashed`` (a caller bug) still verifies the pair —
     as duplicated output rows rather than the regroup's single row.
     """
-    a_side = hashed.select(F.col("id").alias("a_id"), F.col("gh").alias("a_gh"))
-    b_side = hashed.select(F.col("id").alias("b_id"), F.col("gh").alias("b_gh"))
+    with_sketch = sketch_meta is not None
+    c = cand.filter(F.col("a_id") != F.col("b_id"))
+
+    if with_sketch:
+        # Two-stage sketched verify (r6).  Stage 1 joins only METADATA
+        # (set size + count-bucket sketch, ~90 bytes/row — never the gram
+        # arrays, whose per-row materialization dominated the unsketched
+        # chain at 40M candidates) and rejects pairs that provably cannot
+        # reach the threshold:
+        #   count-bucket bound (lossless): with per-doc bucket counts c[b]
+        #   over bucket = gram_hash & (SK_B-1), the true overlap satisfies
+        #   inter <= sum_b min(ca[b], cb[b]) — common grams in a bucket
+        #   cannot outnumber either side's count there (exact set
+        #   arithmetic, no probabilistic argument).  Measured at the
+        #   50k-doc sf1.0 documents corpus: 99.8% of the 40M low-threshold
+        #   candidates rejected, zero true pairs lost (bound >= inter
+        #   always).  The 4-bit lanes saturate at 15; a doc with a hotter
+        #   bucket sets sk_ok = False and its pairs skip the bound filter
+        #   (stay exact).  The 128 least-terms compile to straight-line
+        #   whole-stage-codegen integer ops, ~100x cheaper than
+        #   array_intersect.
+        # Stage 2 fetches the gram arrays for the surviving pairs only and
+        # computes the exact intersection.  Both stages use the
+        # canonically-identical-sides chain (exchange/broadcast reuse).
+        def _meta(tag: str) -> DataFrame:
+            return sketch_meta.select(
+                F.col("id").alias(f"{tag}_id"),
+                F.col("n").alias(f"{tag}_n"),
+                F.col("sk").alias(f"{tag}_sk"),
+                F.col("sk_ok").alias(f"{tag}_ok"),
+            )
+
+        bound = None
+        for w in range(SK_LONGS):
+            aw, bw = F.col("a_sk")[w], F.col("b_sk")[w]
+            for lane in range(16):
+                term = F.least(
+                    F.shiftrightunsigned(aw, 4 * lane).bitwiseAND(F.lit(15)),
+                    F.shiftrightunsigned(bw, 4 * lane).bitwiseAND(F.lit(15)),
+                )
+                bound = term if bound is None else bound + term
+        j = (
+            c.join(_meta("a"), "a_id")
+            .join(_meta("b"), "b_id")
+            # size-ratio prefilter
+            .filter(
+                F.least("a_n", "b_n") * t_den >= F.greatest("a_n", "b_n") * t_num
+            )
+            .filter(
+                ~(F.col("a_ok") & F.col("b_ok"))
+                | (bound * (t_den + t_num) >= (F.col("a_n") + F.col("b_n")) * t_num)
+            )
+            .select("a_id", "b_id", "a_n", "b_n")
+        )
+    else:
+        def _side(tag: str) -> DataFrame:
+            return hashed.select(
+                F.col("id").alias(f"{tag}_id"), F.col("gh").alias(f"{tag}_gh")
+            )
+
+        j = (
+            c.join(_side("a"), "a_id")
+            .join(_side("b"), "b_id")
+            .withColumn("a_n", F.size("a_gh"))
+            .withColumn("b_n", F.size("b_gh"))
+            # size-ratio prefilter before the array intersection
+            .filter(
+                F.least("a_n", "b_n") * t_den >= F.greatest("a_n", "b_n") * t_num
+            )
+        )
+
+    if with_sketch:
+        ga = hashed.select(F.col("id").alias("a_id"), F.col("gh").alias("a_gh"))
+        gb = hashed.select(F.col("id").alias("b_id"), F.col("gh").alias("b_gh"))
+        j = j.join(ga, "a_id").join(gb, "b_id")
     j = (
-        cand.filter(F.col("a_id") != F.col("b_id"))
-        .join(a_side, "a_id")
-        .join(b_side, "b_id")
-        .withColumn("a_n", F.size("a_gh"))
-        .withColumn("b_n", F.size("b_gh"))
-        # size-ratio prefilter before the array intersection
-        .filter(F.least("a_n", "b_n") * t_den >= F.greatest("a_n", "b_n") * t_num)
-        .withColumn("inter", F.size(F.array_intersect("a_gh", "b_gh")).cast("long"))
+        j.withColumn("inter", F.size(F.array_intersect("a_gh", "b_gh")).cast("long"))
         .withColumn("union_n", (F.col("a_n") + F.col("b_n")).cast("long") - F.col("inter"))
         # union_n > 0: two empty gram arrays must not pass 0 >= 0 as a dup
         .filter(

@@ -261,3 +261,74 @@ def test_cache_registry_and_stats_hashed_reuse(spark):
     assert len(reg2) == 2
     for f in reg2:
         f.unpersist()
+
+
+def test_sketched_rowwise_verify_equals_plain(spark):
+    """The count-bucket sketch bound (verify_gram_pairs sketch_meta) and
+    the row-wise candidate path must be LOSSLESS: forcing the row-wise +
+    sketch plan (candidate-mass threshold 0) must reproduce the aggregate
+    plan's pairs exactly, at a low threshold on a gram-dense corpus."""
+    import random
+
+    import bibexpy_spark.operators.ngram as ng
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(6, 30))]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.4:  # near-dup with a few edits
+            dup = list(words)
+            for _ in range(rng.randint(0, 2)):
+                dup[rng.randrange(len(dup))] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(dup)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def collect(pairs):
+        return {
+            (r["a_id"], r["b_id"], r["inter"], r["union_n"], r["jaccard"])
+            for r in pairs.collect()
+        }
+
+    base = collect(ngram.gram_jaccard_pairs(df, "doc_id", "text", 3, 1, 2))
+    prev = ng.SKETCH_CANDIDATE_MASS
+    ng.SKETCH_CANDIDATE_MASS = 0  # force the row-wise + sketch path
+    try:
+        forced = collect(ngram.gram_jaccard_pairs(df, "doc_id", "text", 3, 1, 2))
+    finally:
+        ng.SKETCH_CANDIDATE_MASS = prev
+    assert forced == base and base  # identical pairs, and non-trivial
+
+
+def test_gram_sketch_bound_dominates_intersection(spark):
+    """sum_b min(ca, cb) >= |A ∩ B| for every pair — the exact-arithmetic
+    property the verify prefilter relies on (checked directly against the
+    kernel's gram sets)."""
+    import numpy as np
+
+    from bibexpy_spark.operators.ngram import SK_B, SK_LONGS
+
+    rows = [(i, " ".join(f"t{(i * 7 + j * 3) % 23}" for j in range(5 + i % 17)))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = ngram.with_gram_hashes(df, "doc_id", "text", 3)
+    meta = {r["id"]: r for r in ngram.with_gram_sketch(hashed).collect()}
+    gh = {r["id"]: np.array(r["gh"], dtype=np.int64) for r in hashed.collect()}
+
+    def unpack(sk):
+        out = []
+        for w in sk:
+            uw = np.uint64(w)
+            out += [int((uw >> np.uint64(4 * l)) & np.uint64(15)) for l in range(16)]
+        return np.array(out)
+
+    ids = sorted(gh)
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            inter = len(np.intersect1d(gh[a], gh[b]))
+            if meta[a]["sk_ok"] and meta[b]["sk_ok"]:
+                bound = int(np.minimum(unpack(meta[a]["sk"]), unpack(meta[b]["sk"])).sum())
+                assert bound >= inter, (a, b, bound, inter)
