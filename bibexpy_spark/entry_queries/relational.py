@@ -193,19 +193,41 @@ def q_blocking_join(spark, sf_dir):
     """Candidate-pair counts per block (build_blocks + common-key join,
     smart_merger.py:185-198,624-655); the small dim sides are broadcast.
     The appended 'lost_customers' row is the left-anti unmatched-rows count
-    (lost records, smart_merger.py:738-744 — former q_left_anti_lost)."""
+    (lost records, smart_merger.py:738-744 — former q_left_anti_lost).
+
+    r6: the per-block pair count is computed as the exact algebraic
+    factorization count(c x_k s) = count_k(c) * count_k(s) — aggregate
+    pushdown through the equi-join.  The materialized join produced
+    |block_c| x |block_s| rows per nation (60M rows at the 6M-lineitem
+    scale) only to count them; aggregating each side first joins 25-row
+    frames instead.  Identical result by construction, including nations
+    with an empty side (inner join drops them, exactly as the pair join
+    produced no rows)."""
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
-    pairs = c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey)
+    c_blocks = c.groupBy("c_nationkey").agg(F.count("*").alias("_nc"))
+    s_blocks = s.groupBy("s_nationkey").agg(F.count("*").alias("_ns"))
     per_block = (
-        pairs.join(F.broadcast(n), pairs.c_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("label"))
-        .agg(F.count("*").alias("n"))
+        c_blocks.join(
+            F.broadcast(s_blocks), c_blocks.c_nationkey == s_blocks.s_nationkey
+        )
+        .join(F.broadcast(n), c_blocks.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("label"),
+            (F.col("_nc") * F.col("_ns")).alias("n"),
+        )
     )
     lost = (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        # distinct-first (r6): the anti join only needs the existence of a
+        # custkey on the right; map-side partial dedup shrinks the 10+
+        # orders-per-customer table before the broadcast build
+        c.join(
+            o.select("o_custkey").distinct(),
+            c.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
         .agg(F.count("*").alias("n"))
         .select(F.lit("lost_customers").alias("label"), "n")
     )

@@ -100,19 +100,35 @@ def d_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     norm, toks = _norm_tokens()
 
+    # Token-equality hit counts as codegen-native regex passes (r6; the
+    # array-filter HOF is CodegenFallback — the whole projection ran
+    # interpreted).  Tokens are [a-z0-9]+ so the alternations are
+    # literal-safe; the leading space is consumed while the trailing
+    # boundary is a lookahead (consecutive stopwords must each match), so
+    # counting on " s " equals counting tokens ∈ words exactly (verified 0
+    # mismatches vs the array-filter form and against the DuckDB oracle).
+    # One 30-word pass extracts every stopword occurrence from the full
+    # document; the three per-language counts then run over the extracted
+    # (short) hit string instead of re-scanning the document three times —
+    # valid because the three stopword lists are pairwise disjoint.
+    _all_words = _EN_STOP + _DE_STOP + _FR_STOP
+    assert len(set(_all_words)) == len(_all_words)
+    hit_str = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.regexp_extract_all(
+                F.concat(F.lit(" "), norm, F.lit(" ")),
+                F.lit(" ((?:" + "|".join(_all_words) + "))(?= )"),
+                1,
+            ),
+            " ",
+        ),
+        F.lit(" "),
+    )
+
     def hits(words):
-        # token-equality hit count as a codegen-native regexp_count over
-        # the normalized space-separated string (r6): tokens are [a-z0-9]+
-        # so the alternation is literal-safe, the leading space is consumed
-        # while the trailing boundary is a lookahead (consecutive stopwords
-        # must each match), and counting on " norm " equals counting tokens
-        # ∈ words exactly (verified 0 mismatches vs the array-filter form
-        # at sf0.1 and against the DuckDB oracle).  The array-filter HOF is
-        # CodegenFallback — the whole projection ran interpreted.
         pat = " (?:" + "|".join(words) + ")(?= )"
-        return F.regexp_count(
-            F.concat(F.lit(" "), norm, F.lit(" ")), F.lit(pat)
-        ).cast("int")
+        return F.regexp_count(hit_str, F.lit(pat)).cast("int")
 
     en, de, fr = hits(_EN_STOP), hits(_DE_STOP), hits(_FR_STOP)
     pred = (
